@@ -1,0 +1,174 @@
+"""Spatial core tests: kNN ring expansion vs brute force, PIP join
+stage, raster tiling, salted aggregation (SURVEY.md §5 layer (d):
+spatial results must match a slow-but-obvious oracle exactly)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from activity_files_ray import fixtures
+from activity_files_ray.functions import cells, polygons
+from activity_files_ray.spatial import knn, stages
+
+
+class TestKnn:
+    def _brute(self, plat, plon, idx):
+        d2 = (idx.lat[None, :] - plat[:, None]) ** 2 + (idx.lon[None, :] - plon[:, None]) ** 2
+        # (d2, poi_id) lexicographic argmin
+        best = np.empty(len(plat), dtype=np.int64)
+        for i in range(len(plat)):
+            m = d2[i].min()
+            cand = np.nonzero(d2[i] == m)[0]
+            best[i] = cand[np.argmin(idx.poi_ids[cand])]
+        return best, d2[np.arange(len(plat)), best]
+
+    def test_matches_brute_force(self):
+        rng = np.random.default_rng(11)
+        poi_lat = np.round(rng.uniform(38, 42, 300), 4)
+        poi_lon = np.round(rng.uniform(-107, -103, 300), 4)
+        idx = knn.PoiIndex(np.arange(300), poi_lat, poi_lon, level=12)
+        plat = np.round(rng.uniform(38, 42, 500), 4)
+        plon = np.round(rng.uniform(-107, -103, 500), 4)
+        got_rows, got_d2 = knn.nearest_poi(plat, plon, idx)
+        exp_rows, exp_d2 = self._brute(plat, plon, idx)
+        np.testing.assert_array_equal(got_rows, exp_rows)
+        np.testing.assert_allclose(got_d2, exp_d2)
+
+    def test_far_points_resolve_via_fallback(self):
+        # POIs clustered; query from the antipode → straggler path
+        idx = knn.PoiIndex(np.arange(3), np.array([40.0, 40.1, 40.2]), np.array([-105.0, -105.1, -105.2]), level=15)
+        rows, d2 = knn.nearest_poi(np.array([-40.0]), np.array([75.0]), idx)
+        assert rows[0] in (0, 1, 2)
+        exp = self._brute(np.array([-40.0]), np.array([75.0]), idx)
+        assert rows[0] == exp[0][0]
+
+    def test_tie_break_smallest_id(self):
+        # two POIs equidistant from the query point
+        idx = knn.PoiIndex(np.array([7, 3]), np.array([0.0, 0.0]), np.array([1.0, -1.0]), level=10)
+        rows, _ = knn.nearest_poi(np.array([0.0]), np.array([0.0]), idx)
+        assert idx.poi_ids[rows[0]] == 3
+
+    def test_empty_points(self):
+        idx = knn.PoiIndex(np.arange(2), np.array([0.0, 1.0]), np.array([0.0, 1.0]))
+        rows, d2 = knn.nearest_poi(np.array([]), np.array([]), idx)
+        assert len(rows) == 0
+
+    def test_csr_gather(self):
+        idx = knn.PoiIndex(np.arange(5), np.array([0.0, 0.0, 0.0, 10.0, 20.0]), np.array([0.0, 0.001, 0.002, 10.0, 20.0]), level=10)
+        c = cells.cell_id(np.array([0.0]), np.array([0.0]), 10)
+        counts, rows = idx.pois_in_cells(c)
+        assert counts[0] == 3
+        assert set(rows.tolist()) == {0, 1, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStagesOnRay:
+    def test_cell_encode_stage(self):
+        import ray.data as rd
+
+        t = fixtures.canonical_trackpoints()
+        ds = rd.from_arrow(t).map_batches(stages.add_cell_columns, batch_format="pyarrow")
+        out = ds.take_all()
+        assert all("cell" in r and "cell_prefix" in r for r in out)
+        exp = cells.cell_id(np.array(t["lat"]), np.array(t["lon"]), cells.LEVEL_TILE)
+        assert [r["cell"] for r in out] == exp.tolist()
+
+    def test_pip_join_stage(self):
+        import ray
+        import ray.data as rd
+
+        polys = fixtures.make_regions()
+        idx_ref = ray.put(polygons.PolygonIndex(polys))
+        pts = fixtures.make_trackpoints(5, 40, seed=1)
+        ds = rd.from_arrow(pts).map_batches(
+            stages.PipJoiner, fn_constructor_kwargs={"index_ref": idx_ref},
+            batch_format="pyarrow", concurrency=1,
+        )
+        got = ds.to_pandas()
+        # oracle: brute-force every point against every polygon
+        lat = np.array(pts["lat"])
+        lon = np.array(pts["lon"])
+        exp_pairs = set()
+        for p in polys:
+            hit = polygons.points_in_polygon(lat, lon, p)
+            for i in np.nonzero(hit)[0]:
+                exp_pairs.add((pts["activity_id"][i].as_py(), int(pts["seq"][i].as_py()), p.region_id))
+        got_pairs = set(zip(got["activity_id"], got["seq"].astype(int), got["region_id"]))
+        assert got_pairs == exp_pairs
+        assert len(exp_pairs) > 0  # fixture guarantees hits
+
+    def test_knn_stage(self):
+        import ray
+        import ray.data as rd
+
+        pois = fixtures.make_pois(100, seed=5)
+        idx = knn.PoiIndex(
+            np.array(pois["poi_id"]), np.array(pois["lat"]), np.array(pois["lon"])
+        )
+        idx_ref = ray.put(idx)
+        pts = fixtures.canonical_trackpoints()
+        ds = rd.from_arrow(pts).map_batches(
+            stages.KnnPoiJoiner, fn_constructor_kwargs={"index_ref": idx_ref},
+            batch_format="pyarrow", concurrency=1,
+        )
+        got = ds.to_pandas()
+        assert got["poi_id"].notna().all()
+        # nearest is sane: distance to chosen <= distance to all
+        d2 = (idx.lat - 40.0) ** 2 + (idx.lon + 105.0) ** 2
+        assert got["dist2_deg"].iloc[0] == pytest.approx(d2.min())
+
+    def test_raster_tiling_matches_direct(self):
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        imgs = fixtures.make_images(12, seed=42)
+        ds = rd.from_arrow(imgs).map_batches(
+            stages.RouteTileExtractor, batch_format="pyarrow", concurrency=1, batch_size=4
+        )
+        final = ds.groupby("cell").aggregate(Sum("n_px", alias_name="n_px")).to_pandas()
+        # oracle: decode every image on the driver
+        from activity_files_ray.functions import imaging
+
+        acc: dict[int, int] = {}
+        for row in imgs.to_pylist():
+            rgb = imaging.decode_image(row["bytes"])
+            rr, cc = imaging.extract_route_pixels(rgb)
+            lat_min, lon_min, lat_max, lon_max = fixtures.parse_caption_bbox(row["caption"])
+            lat, lon = imaging.pixels_to_latlon(rr, cc, row["h"], row["w"], lat_min, lat_max, lon_min, lon_max)
+            for c in cells.cell_id(lat, lon, cells.LEVEL_TILE):
+                acc[int(c)] = acc.get(int(c), 0) + 1
+        exp = dict(sorted(acc.items()))
+        got = dict(zip(final["cell"].astype(int), final["n_px"].astype(int)))
+        assert got == exp
+
+    def test_tile_counts_partial_equals_plain(self):
+        import ray.data as rd
+
+        pts = fixtures.make_trackpoints(10, 100, seed=3)
+        out = stages.tile_counts(rd.from_arrow(pts)).to_pandas()
+        exp_cells = cells.cell_id(np.array(pts["lat"]), np.array(pts["lon"]), cells.LEVEL_TILE)
+        uc, cnt = np.unique(exp_cells, return_counts=True)
+        got = dict(zip(out["cell"].astype(int), out["n"].astype(int)))
+        assert got == dict(zip(uc.tolist(), cnt.tolist()))
+
+    def test_salted_two_phase_equals_unsalted(self):
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        pts = fixtures.make_trackpoints(4, 200, seed=9)
+        enc = rd.from_arrow(pts).map_batches(stages.add_cell_columns, batch_format="pyarrow")
+        salted = enc.map_batches(
+            stages.add_salt_column, batch_format="pyarrow",
+            fn_kwargs={"key_col": "cell", "salt": 8},
+        )
+        phase1 = salted.groupby("salted_key").aggregate(Sum("lat", alias_name="s"))
+        import pyarrow.compute as pc
+
+        def strip(b: pa.Table) -> pa.Table:
+            return pa.table({"cell": pc.divide(b["salted_key"], 8), "s": b["s"]})
+
+        final = phase1.map_batches(strip, batch_format="pyarrow").groupby("cell").aggregate(Sum("s", alias_name="s")).to_pandas()
+        plain = enc.groupby("cell").aggregate(Sum("lat", alias_name="s")).to_pandas()
+        merged = final.merge(plain, on="cell", suffixes=("_salted", "_plain"))
+        assert len(merged) == len(plain)
+        np.testing.assert_allclose(merged["s_salted"], merged["s_plain"], rtol=1e-12)
