@@ -1,0 +1,830 @@
+"""Driver-facing query registry: Ray Data pipelines + DuckDB oracles.
+
+Every entry pairs a Ray-Data-first implementation with an ANSI-SQL
+oracle over the same parquet tables (``CORRECTNESS_r{N}.json`` gate).
+Exactness rules that make the value-hash comparison deterministic:
+
+* monetary/metric sums are integerized BEFORE aggregation —
+  ``floor(x·scale + 0.5)`` on both sides — so float summation order
+  can never flip a digit;
+* spatial expressions (cell ids, PIP predicates) are GENERATED from
+  the same Python constants (``cells.cell_sql_expr``,
+  ``polygons.convex_pip_sql_expr``) — no second hand-written copy;
+* synthetic geo coordinates derive from integer columns by pure
+  integer arithmetic (centidegrees), identical in numpy and SQL;
+* every aggregate column is explicitly named identically in both.
+
+Scale discipline (these run on 10k rows here but are shaped for
+10^12): reads prune columns; big tables only stream through
+``map_batches``; every groupby is fed per-batch partials; small sides
+(dims, polygons, POIs) broadcast; no driver-side row loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions import cells, polygons, text
+from ..spatial import knn, stages
+
+# --- synthetic geo derivation (single source of truth, int math) ------------
+# events rows become trackpoints; part rows become POIs. Centidegree
+# integer lattice → float division by 100.0 is the ONLY float step and
+# is identical in numpy and DuckDB.
+LAT_MUL, LAT_MOD, LAT_OFF = 7919, 14000, 7000  # lat ∈ [-70.00, 70.00)
+LON_MUL, LON_MOD, LON_OFF = 104729, 36000, 18000  # lon ∈ [-180.00, 180.00)
+POI_LAT_MUL, POI_LON_MUL = 4271, 9973
+
+EVENT_LAT_CD = f"((event_id * {LAT_MUL}) % {LAT_MOD} - {LAT_OFF})"
+EVENT_LON_CD = f"((event_id * {LON_MUL}) % {LON_MOD} - {LON_OFF})"
+POI_LAT_CD = f"((p_partkey * {POI_LAT_MUL}) % {LAT_MOD} - {LAT_OFF})"
+POI_LON_CD = f"((p_partkey * {POI_LON_MUL}) % {LON_MOD} - {LON_OFF})"
+
+KNN_SUBSET_MOD = 20  # q_knn uses event_id % 20 == 0 (keeps the
+# cross-join oracle tractable; the Ray path would take all rows)
+
+
+def event_latlon_cd(event_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    e = np.asarray(event_id, dtype=np.int64)
+    return (e * LAT_MUL) % LAT_MOD - LAT_OFF, (e * LON_MUL) % LON_MOD - LON_OFF
+
+
+def poi_latlon_cd(partkey: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    p = np.asarray(partkey, dtype=np.int64)
+    return (p * POI_LAT_MUL) % LAT_MOD - LAT_OFF, (p * POI_LON_MUL) % LON_MOD - LON_OFF
+
+
+# fixture regions over the derived coordinate space; vertices on a
+# .0005 offset lattice so no centidegree point is edge-collinear
+ORACLE_REGIONS = [
+    polygons.Polygon(
+        "reg_band",
+        "equatorial-band-box",
+        lat=np.array([-10.0005, -10.0005, 25.0005, 25.0005]),
+        lon=np.array([-60.0005, -10.0005, -10.0005, -60.0005]),
+    ),
+    polygons.Polygon(
+        "reg_pent",
+        "steppe-pentagon",
+        lat=np.array([30.0005, 32.0005, 45.0005, 55.0005, 42.0005]),
+        lon=np.array([50.0005, 70.0005, 78.0005, 60.0005, 45.0005]),
+    ),
+    polygons.Polygon(
+        "reg_hot",
+        "hot-cell-box",
+        lat=np.array([-45.0005, -45.0005, -35.0005, -35.0005]),
+        lon=np.array([100.0005, 120.0005, 120.0005, 100.0005]),
+    ),
+    polygons.Polygon(
+        "reg_tri",
+        "equator-triangle",
+        lat=np.array([-20.9995, -25.0005, 10.0005]),
+        lon=np.array([-120.0005, -90.0005, -100.0005]),
+    ),
+]
+for _p in ORACLE_REGIONS:
+    assert _p.is_convex_ccw(), _p.region_id
+
+CELL_LEVEL = cells.LEVEL_TILE  # 15
+POI_INDEX_LEVEL = 7  # coarser grid for the sparse POI side
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _i100(x: np.ndarray) -> np.ndarray:
+    """floor(x·100 + 0.5) — the shared integerization (cents)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+def _i10000(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 10000.0 + 0.5).astype(np.int64)
+
+
+SQL_I100 = "CAST(FLOOR(({e}) * 100.0 + 0.5) AS BIGINT)"
+SQL_I10000 = "CAST(FLOOR(({e}) * 10000.0 + 0.5) AS BIGINT)"
+
+
+# =========================================================================
+# TPC-H-style relational core (SURVEY.md §2.5/§2.6 aggregate/sort/top-k)
+# =========================================================================
+
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch partials (reference analog:
+    per-activity summary aggregates, SURVEY.md A2/A4)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty_c": _i100(df["l_quantity"].to_numpy()),
+                "sum_base_c": _i100(df["l_extendedprice"].to_numpy()),
+                "sum_disc_c4": _i10000(
+                    df["l_extendedprice"].to_numpy()
+                    * (1.0 - df["l_discount"].to_numpy())
+                ),
+                "n_rows": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_base_c", alias_name="sum_base_c"),
+            Sum("sum_disc_c4", alias_name="sum_disc_c4"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM({SQL_I100.format(e='l_quantity')}) AS BIGINT) AS sum_qty_c,
+  CAST(SUM({SQL_I100.format(e='l_extendedprice')}) AS BIGINT) AS sum_base_c,
+  CAST(SUM({SQL_I10000.format(e='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS sum_disc_c4,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_region_revenue(sf_dir: str):
+    """Broadcast dimension join (customer→nation→region shipped once
+    via driver lookup arrays; reference analog J4 broadcast
+    manufacturer dictionary)."""
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    )
+    r2name = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    ckeys = np.asarray(cust["c_custkey"])
+    cnation = np.asarray(cust["c_nationkey"])
+    order_ck = np.argsort(ckeys)
+    ckeys_s, cnation_s = ckeys[order_ck], cnation[order_ck]
+    rname_of_nation = {n: r2name[r] for n, r in n2r.items()}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["o_custkey"].to_numpy()
+        pos = np.searchsorted(ckeys_s, ck)
+        nk = cnation_s[pos]
+        rn = pd.Series(nk).map(rname_of_nation)
+        out = pd.DataFrame(
+            {
+                "r_name": rn.to_numpy(),
+                "revenue_c": _i100(df["o_totalprice"].to_numpy()),
+                "n_orders": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby("r_name", as_index=False).sum()
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(
+            Sum("revenue_c", alias_name="revenue_c"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = f"""
+SELECT r_name,
+  CAST(SUM({SQL_I100.format(e='o_totalprice')}) AS BIGINT) AS revenue_c,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Aggregate + global top-k (deterministic tie-break)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "revenue_c4": _i10000(
+                    df["l_extendedprice"].to_numpy()
+                    * (1.0 - df["l_discount"].to_numpy())
+                ),
+            }
+        )
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("l_orderkey").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4")
+    )
+    return agg.sort(["revenue_c4", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = f"""
+SELECT l_orderkey,
+  CAST(SUM({SQL_I10000.format(e='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS revenue_c4
+FROM lineitem GROUP BY l_orderkey
+ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (Ray Data has
+    no event-time windows; buckets via integer time arithmetic —
+    SURVEY.md §2.10)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy()
+        hour = ts_us // 3_600_000_000
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "hour": hour,
+                "n": np.ones(len(hour), dtype=np.int64),
+                "sum_value_c": _i100(batch["value"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "hour"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c")
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM({SQL_I100.format(e='value')}) AS BIGINT) AS sum_value_c
+FROM events GROUP BY event_type, hour
+"""
+
+
+def q_prev_event_gap(sf_dir: str):
+    """Per-key as-of/predecessor lookup (reference analog: J1 nearest
+    channel-sample join, channel_mapper.dart:103-156) — sorted scan
+    within each user partition."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64")
+        gap = ts.diff().fillna(-1).astype(np.int64)
+        return pd.DataFrame({"event_id": df["event_id"], "gap_us": gap})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_PREV_EVENT_GAP = """
+SELECT event_id,
+  CAST(COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT) AS gap_us
+FROM events
+"""
+
+
+def q_sessions_per_user(sf_dir: str):
+    """Sessionization: 30-min-gap rule, counted per user (streaming
+    window semantics as partition-sorted scan)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    GAP = 1_800_000_000
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64")
+        gap = ts.diff()
+        n_sessions = int((gap.isna() | (gap > GAP)).sum())
+        return pd.DataFrame(
+            {"user_id": [df["user_id"].iloc[0]], "n_sessions": np.int64(n_sessions)}
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_SESSIONS = """
+SELECT user_id, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_dedup_last_wins(sf_dir: str):
+    """Exact dedup on (user, timestamp), LAST-wins — the reference's
+    normalize invariant (raw_editor.dart:30-39) lifted to a corpus
+    groupby."""
+    from ray.data.aggregate import Count, Max
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def to_int_ts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    return (
+        ds.map_batches(to_int_ts, batch_format="pyarrow")
+        .groupby(["user_id", "ts_us"])
+        .aggregate(
+            Max("event_id", alias_name="event_id"), Count(alias_name="n_dups")
+        )
+    )
+
+
+SQL_DEDUP_LAST_WINS = """
+SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+  CAST(MAX(event_id) AS BIGINT) AS event_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM events GROUP BY user_id, epoch_us(ts)
+"""
+
+CROP_LO = "2024-01-10"
+CROP_HI = "2024-01-20"
+
+
+def q_time_crop(sf_dir: str):
+    """Inclusive-exclusive time-window crop (reference M3
+    raw_editor.dart:201-241) + per-type aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    lo = pd.Timestamp(CROP_LO).value // 1000
+    hi = pd.Timestamp(CROP_HI).value // 1000
+
+    def crop_partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64())
+        mask = pc.and_(pc.greater_equal(ts_us, lo), pc.less(ts_us, hi))
+        b = batch.filter(mask)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "n": np.ones(b.num_rows, dtype=np.int64),
+                "sum_value_c": _i100(b["value"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(crop_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c")
+        )
+    )
+
+
+SQL_TIME_CROP = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM({SQL_I100.format(e='value')}) AS BIGINT) AS sum_value_c
+FROM events
+WHERE ts >= TIMESTAMP '{CROP_LO}' AND ts < TIMESTAMP '{CROP_HI}'
+GROUP BY event_type
+"""
+
+
+# =========================================================================
+# Spatial core over derived trackpoints (north_rule operators)
+# =========================================================================
+
+
+def _derived_points_ds(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy()
+        lat_cd, lon_cd = event_latlon_cd(e)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "lat_cd": pa.array(lat_cd),
+                "lon_cd": pa.array(lon_cd),
+                "lat": pa.array(lat_cd / 100.0),
+                "lon": pa.array(lon_cd / 100.0),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+_EVENT_LAT_SQL = f"({EVENT_LAT_CD} / 100.0)"
+_EVENT_LON_SQL = f"({EVENT_LON_CD} / 100.0)"
+
+
+def q_cell_counts(sf_dir: str):
+    """Vectorized lat/lng→cell + per-tile counts with the
+    partial-combiner plan (north_rule tile assignment)."""
+    return stages.tile_counts(_derived_points_ds(sf_dir), level=CELL_LEVEL)
+
+
+SQL_CELL_COUNTS = f"""
+SELECT {cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, CELL_LEVEL)} AS cell,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY cell
+"""
+
+
+def q_hot_cells(sf_dir: str):
+    """Top-20 hottest tiles (skew probe; deterministic tie-break)."""
+    return q_cell_counts(sf_dir).sort(["n", "cell"], descending=[True, False]).limit(20)
+
+
+SQL_HOT_CELLS = SQL_CELL_COUNTS.replace(
+    "GROUP BY cell", "GROUP BY cell ORDER BY n DESC, cell LIMIT 20"
+)
+
+
+def q_pip_regions(sf_dir: str):
+    """Point-in-polygon join (broadcast polygon index + cell-prefix
+    pre-filter + exact ray-cast) → per-region counts."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    idx_ref = ray.put(polygons.PolygonIndex(ORACLE_REGIONS))
+    pts = _derived_points_ds(sf_dir)
+    joined = pts.map_batches(
+        stages.PipJoiner,
+        fn_constructor_kwargs={"index_ref": idx_ref},
+        batch_format="pyarrow",
+        concurrency=stages.actor_pool(),
+    )
+    partial = joined.map_batches(
+        stages.partial_counts,
+        batch_format="pyarrow",
+        fn_kwargs={"key_col": "region_id"},
+    )
+    return partial.groupby("region_id").aggregate(Sum("n", alias_name="n"))
+
+
+def _sql_pip_regions() -> str:
+    parts = [
+        f"SELECT '{p.region_id}' AS region_id FROM events "
+        f"WHERE {polygons.convex_pip_sql_expr(p, _EVENT_LAT_SQL, _EVENT_LON_SQL)}"
+        for p in ORACLE_REGIONS
+    ]
+    inner = " UNION ALL ".join(parts)
+    return (
+        f"SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n FROM ({inner}) "
+        "GROUP BY region_id"
+    )
+
+
+SQL_PIP_REGIONS = _sql_pip_regions()
+
+
+def q_knn_poi(sf_dir: str):
+    """kNN trackpoint→POI via cell-ring expansion against a broadcast
+    CSR index; exact-integer centidegree distances for oracle parity."""
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)
+    plat_cd, plon_cd = poi_latlon_cd(pk)
+    index = knn.PoiIndex(pk, plat_cd / 100.0, plon_cd / 100.0, level=POI_INDEX_LEVEL)
+    idx_ref = ray.put(index)
+    # broadcast centidegree lookup (sorted by partkey for searchsorted)
+    order = np.argsort(pk)
+    pk_s, plat_s, plon_s = pk[order], plat_cd[order], plon_cd[order]
+
+    def subset(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy()
+        return b.filter(pa.array(e % KNN_SUBSET_MOD == 0))
+
+    pts = _derived_points_ds(sf_dir).map_batches(subset, batch_format="pyarrow")
+    joined = pts.map_batches(
+        stages.KnnPoiJoiner,
+        fn_constructor_kwargs={"index_ref": idx_ref},
+        batch_format="pyarrow",
+        concurrency=stages.actor_pool(),
+    )
+
+    def int_dist(batch: pa.Table) -> pa.Table:
+        poi = batch["poi_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(pk_s, poi)
+        d2 = (batch["lat_cd"].to_numpy() - plat_s[pos]) ** 2 + (
+            batch["lon_cd"].to_numpy() - plon_s[pos]
+        ) ** 2
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "poi_partkey": pa.array(poi),
+                "dist2_cd": pa.array(d2.astype(np.int64)),
+            }
+        )
+
+    return joined.map_batches(int_dist, batch_format="pyarrow")
+
+
+SQL_KNN_POI = f"""
+WITH pts AS (
+  SELECT event_id, {EVENT_LAT_CD} AS lat_cd, {EVENT_LON_CD} AS lon_cd
+  FROM events WHERE event_id % {KNN_SUBSET_MOD} = 0
+), pois AS (
+  SELECT p_partkey, {POI_LAT_CD} AS lat_cd, {POI_LON_CD} AS lon_cd FROM part
+)
+SELECT event_id, poi_partkey, dist2_cd FROM (
+  SELECT pts.event_id, pois.p_partkey AS poi_partkey,
+    (pts.lat_cd - pois.lat_cd) * (pts.lat_cd - pois.lat_cd)
+      + (pts.lon_cd - pois.lon_cd) * (pts.lon_cd - pois.lon_cd) AS dist2_cd,
+    ROW_NUMBER() OVER (
+      PARTITION BY pts.event_id
+      ORDER BY (pts.lat_cd - pois.lat_cd) * (pts.lat_cd - pois.lat_cd)
+        + (pts.lon_cd - pois.lon_cd) * (pts.lon_cd - pois.lon_cd),
+        pois.p_partkey
+    ) AS rn
+  FROM pts CROSS JOIN pois
+) WHERE rn = 1
+"""
+
+
+# =========================================================================
+# Documents: dedup + text analysis
+# =========================================================================
+
+
+def q_doc_dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash partition, keep smallest doc_id
+    (hash computed per batch so the shuffle carries 32-byte keys, not
+    document bodies)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "h": [
+                    hashlib.sha256(t.encode()).hexdigest()
+                    for t in df["text"].fillna("")
+                ],
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    )
+    return agg.select_columns(["doc_id", "n_copies"])
+
+
+SQL_DOC_DEDUP_EXACT = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_doc_token_stats(sf_dir: str):
+    """Per-language corpus stats; tokenizer shared with the oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "n_docs": np.ones(len(df), dtype=np.int64),
+                "sum_tokens": text.token_count(df["text"]),
+                "sum_chars": df["text"].fillna("").str.len().to_numpy(np.int64),
+            }
+        )
+        return out.groupby("lang", as_index=False).sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_fingerprint_groups(sf_dir: str):
+    """Near-dup clustering key: first-5-token fingerprint groups
+    (document fingerprinting family, task brief)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "fp": text.token_fingerprint(df["text"], 5)}
+        )
+
+    agg = (
+        ds.map_batches(add_fp, batch_format="pandas")
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_members"))
+    )
+    return agg.select_columns(["doc_id", "n_members"])
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM documents
+GROUP BY array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 5), ' ')
+"""
+
+
+def q_lang_id_counts(sf_dir: str):
+    """Language-ID heuristic (stopword voting) — no SQL oracle (the
+    heuristic isn't SQL-expressible); rows-only driver check, exact
+    oracle in tests/test_text.py."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang_pred": text.lang_id(df["text"]),
+                "n_docs": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby("lang_pred", as_index=False).sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang_pred")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+# =========================================================================
+# Embeddings: similarity search
+# =========================================================================
+
+
+def q_embed_axis_topk(sf_dir: str):
+    """Top-k by first embedding component (exact float32→float64
+    parity with the SQL list extract)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def first_comp(batch: pa.Table) -> pa.Table:
+        v = pc.list_element(batch["embedding"], 0).cast(pa.float64())
+        return pa.table({"vec_id": batch["vec_id"], "v": v})
+
+    return (
+        ds.map_batches(first_comp, batch_format="pyarrow")
+        .sort(["v", "vec_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_EMBED_AXIS_TOPK = """
+SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS v
+FROM embeddings ORDER BY v DESC, vec_id LIMIT 10
+"""
+
+
+def q_embed_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 against a broadcast query vector
+    (the ANN baseline; per-batch numpy matmul, per-batch top-k then a
+    tiny global sort). Rows-only driver check (float reduction order
+    isn't SQL-reproducible); exact oracle in tests."""
+    q = _embedding_query_vector(sf_dir)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        cos = emb @ q / (norms * np.linalg.norm(q) + 1e-30)
+        k = min(10, len(cos))
+        top = np.argpartition(-cos, k - 1)[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(batch["vec_id"].to_numpy()[top]),
+                "cos": pa.array(cos[top]),
+            }
+        )
+
+    return ds.map_batches(batch_topk, batch_format="pyarrow").sort(
+        ["cos", "vec_id"], descending=[True, False]
+    ).limit(10)
+
+
+def _embedding_query_vector(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    v0 = t.filter(pc.equal(t["vec_id"], 0))["embedding"].to_pylist()[0]
+    return np.asarray(v0, dtype=np.float64)
+
+
+def flagship_spatial(sf_dir: str):
+    """The headline spatial pipeline (driver smoke check / bench):
+    derive trackpoints → vectorized cell encode → broadcast PIP join
+    → per-(region, tile) counts via partial-combiner groupby.
+
+    Every stage streams; the only exchange is the final small groupby
+    over per-batch partials."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    idx_ref = ray.put(polygons.PolygonIndex(ORACLE_REGIONS))
+    pts = _derived_points_ds(sf_dir)
+    enc = pts.map_batches(
+        stages.add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": CELL_LEVEL}
+    )
+    joined = enc.map_batches(
+        stages.PipJoiner,
+        fn_constructor_kwargs={"index_ref": idx_ref},
+        batch_format="pyarrow",
+        concurrency=stages.actor_pool(),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["region_id", "cell"]].copy()
+        df["n"] = np.int64(1)
+        return df.groupby(["region_id", "cell"], as_index=False).sum()
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["region_id", "cell"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+# =========================================================================
+# registry
+# =========================================================================
+
+QUERIES: dict[str, tuple] = {
+    # name: (ray_fn, sql_or_None)
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "prev_event_gap": (q_prev_event_gap, SQL_PREV_EVENT_GAP),
+    "sessions_per_user": (q_sessions_per_user, SQL_SESSIONS),
+    "dedup_last_wins": (q_dedup_last_wins, SQL_DEDUP_LAST_WINS),
+    "time_crop": (q_time_crop, SQL_TIME_CROP),
+    "cell_counts": (q_cell_counts, SQL_CELL_COUNTS),
+    "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
+    "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
+    "knn_poi": (q_knn_poi, SQL_KNN_POI),
+    "doc_dedup_exact": (q_doc_dedup_exact, SQL_DOC_DEDUP_EXACT),
+    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "doc_fingerprint_groups": (q_doc_fingerprint_groups, SQL_DOC_FINGERPRINT),
+    "lang_id_counts": (q_lang_id_counts, None),
+    "embed_axis_topk": (q_embed_axis_topk, SQL_EMBED_AXIS_TOPK),
+    "embed_cosine_topk": (q_embed_cosine_topk, None),
+}

@@ -26,6 +26,19 @@ from ..functions import cells, imaging, polygons
 from . import knn
 
 
+def actor_pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds that always leave CPUs for the
+    upstream read + downstream shuffle stages — a pool sized to every
+    CPU starves its own input and the pipeline livelocks."""
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return (1, max(1, n - 2))
+
+
 def _resolve(ref: Any) -> Any:
     """Accept either a plain object or a ray.ObjectRef broadcast."""
     try:

@@ -1,0 +1,171 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) in a fresh local Ray session with
+``num_cpus=$RAY_GRAFT_CPUS`` (default 32) and prints
+``{"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf", "num_cpus", "rows_per_sec": {...}}``.
+
+``--scaling``: runs this same script twice in FRESH subprocesses at
+8 and 32 CPUs on the same input (the sandbox stand-in for N vs 4N Ray
+nodes, BASELINE.md) and prints both times plus the scaling
+efficiency ``(t_lo / t_hi) / (hi_cpus / lo_cpus)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+IMAGES_CACHE = "/tmp/afr_bench_images_v1.parquet"
+N_BENCH_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "300"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_images() -> str:
+    """Deterministic image+caption table cached on disk (generation is
+    driver-side fixture work, excluded from timed stages)."""
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(IMAGES_CACHE):
+        from activity_files_ray import fixtures
+
+        t = fixtures.make_images(N_BENCH_IMAGES, seed=42)
+        pq.write_table(t, IMAGES_CACHE + ".tmp")
+        os.replace(IMAGES_CACHE + ".tmp", IMAGES_CACHE)
+    return IMAGES_CACHE
+
+
+def _consume(res) -> int:
+    """Materialize a (small) result; returns row count."""
+    if hasattr(res, "to_pandas"):
+        df = res.to_pandas()
+        return len(df)
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from activity_files_ray.pipelines import queries as q
+    from activity_files_ray.spatial import stages
+
+    img_path = _ensure_images()
+    n_events = pq.ParquetFile(f"{SF_DIR}/events.parquet").metadata.num_rows
+    n_lineitem = pq.ParquetFile(f"{SF_DIR}/lineitem.parquet").metadata.num_rows
+
+    # untimed warm-up read: page cache + Ray worker startup
+    import ray.data as rd
+
+    rd.read_parquet(f"{SF_DIR}/events.parquet").count()
+
+    def bench_raster_tiling():
+        from ray.data.aggregate import Sum
+
+        ds = rd.read_parquet(img_path).map_batches(
+            stages.RouteTileExtractor,
+            batch_format="pyarrow",
+            concurrency=stages.actor_pool(),
+            batch_size=16,
+        )
+        return ds.groupby("cell").aggregate(Sum("n_px", alias_name="n_px"))
+
+    timed = {
+        "flagship_pip_tiles": lambda: q.flagship_spatial(SF_DIR),
+        "cell_counts": lambda: q.q_cell_counts(SF_DIR),
+        "knn_poi": lambda: q.q_knn_poi(SF_DIR),
+        "raster_tiling": bench_raster_tiling,
+        "pricing_summary": lambda: q.q_pricing_summary(SF_DIR),
+        "events_hourly": lambda: q.q_events_hourly(SF_DIR),
+        "doc_token_stats": lambda: q.q_doc_token_stats(SF_DIR),
+        "embed_cosine_topk": lambda: q.q_embed_cosine_topk(SF_DIR),
+    }
+    # rows processed per pipeline (for rows/sec reporting)
+    rows_in = {
+        "flagship_pip_tiles": n_events,
+        "cell_counts": n_events,
+        "knn_poi": n_events // q.KNN_SUBSET_MOD,
+        "raster_tiling": N_BENCH_IMAGES,
+        "pricing_summary": n_lineitem,
+        "events_hourly": n_events,
+        "doc_token_stats": pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows,
+        "embed_cosine_topk": pq.ParquetFile(f"{SF_DIR}/embeddings.parquet").metadata.num_rows,
+    }
+
+    secs: dict[str, float] = {}
+    rps: dict[str, float] = {}
+    for name, make in timed.items():
+        t0 = time.perf_counter()
+        _consume(make())
+        dt = time.perf_counter() - t0
+        secs[name] = round(dt, 3)
+        rps[name] = round(rows_in[name] / dt, 1)
+
+    total = round(sum(secs.values()), 3)
+    out = {
+        "metric": "headline_pipeline_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": secs,
+        "rows_per_sec": rps,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "queries_lo": lo["queries"],
+        "queries_hi": hi["queries"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    print(json.dumps(result))
