@@ -62,6 +62,8 @@ def encode_png(rgb: np.ndarray) -> bytes:
 
 def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     stride = w * bpp
+    if not raw[:, 0].any():  # all filter-0 rows (our encoder's output)
+        return np.ascontiguousarray(raw[:, 1:])
     out = np.zeros((h, stride), dtype=np.uint8)
     for r in range(h):
         ft = int(raw[r, 0])

@@ -126,17 +126,47 @@ class PolygonIndex:
     def __init__(self, polygons: list[Polygon], level: int = cells.LEVEL_PREFIX):
         self.level = level
         self.polygons = list(polygons)
-        self.cell_to_polys: dict[int, np.ndarray] = {}
-        tmp: dict[int, list[int]] = {}
+        cover_cells: list[np.ndarray] = []
+        cover_poly: list[np.ndarray] = []
         for idx, poly in enumerate(self.polygons):
             cover = cells.covering_cells_bbox(
                 poly.lat_min, poly.lat_max, poly.lon_min, poly.lon_max, level
             )
-            for c in cover.tolist():
-                tmp.setdefault(c, []).append(idx)
-        self.cell_to_polys = {
-            c: np.asarray(v, dtype=np.int64) for c, v in tmp.items()
+            cover_cells.append(cover)
+            cover_poly.append(np.full(cover.size, idx, dtype=np.int64))
+        if cover_cells:
+            flat_cells = np.concatenate(cover_cells)
+            flat_poly = np.concatenate(cover_poly)
+        else:
+            flat_cells = np.empty(0, dtype=np.int64)
+            flat_poly = np.empty(0, dtype=np.int64)
+        order = np.argsort(flat_cells, kind="stable")
+        sorted_cells = flat_cells[order]
+        self.flat_poly = flat_poly[order]
+        # CSR: distinct covering cells → ranges into flat_poly
+        self.cell_keys, starts = np.unique(sorted_cells, return_index=True)
+        self.offsets = np.append(starts, len(sorted_cells))
+        self.cell_to_polys: dict[int, np.ndarray] = {
+            int(c): self.flat_poly[self.offsets[i] : self.offsets[i + 1]]
+            for i, c in enumerate(self.cell_keys)
         }
+
+    def polys_in_cells(self, cell_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized CSR lookup: flat candidate polygon indices for a
+        flat array of prefix cells. Returns (counts_per_cell,
+        flat_poly_indices)."""
+        from .gather import multi_range_gather
+
+        cell_ids = np.asarray(cell_ids, dtype=np.int64)
+        if self.cell_keys.size == 0 or cell_ids.size == 0:
+            return np.zeros(cell_ids.size, dtype=np.int64), np.empty(0, np.int64)
+        pos = np.searchsorted(self.cell_keys, cell_ids)
+        pos = np.clip(pos, 0, self.cell_keys.size - 1)
+        hit = self.cell_keys[pos] == cell_ids
+        lo = np.where(hit, self.offsets[pos], 0)
+        hi = np.where(hit, self.offsets[pos + 1], 0)
+        counts = hi - lo
+        return counts, self.flat_poly[multi_range_gather(lo, counts)]
 
     def candidates(self, prefix_cells: np.ndarray) -> dict[int, np.ndarray]:
         """Map each distinct prefix cell present in a batch to its

@@ -1,0 +1,80 @@
+"""Combiner-tree aggregation: per-batch partials + small final merge.
+
+Ray Data's ``groupby().aggregate()`` is a full sort-based shuffle with
+a multi-second constant cost regardless of data size (measured: ~5 s
+for 64k pre-aggregated rows at 8 CPUs). For aggregates whose RESULT
+cardinality is bounded (per-tile counts, per-region stats, per-type
+windows — everything but key-per-row dedup), the scalable plan is the
+classic combiner tree:
+
+1. ``map_batches(partial)``: collapse each batch to one row per key —
+   fully parallel, this is where ~all compute happens;
+2. merge the (small) partials with one pandas groupby.
+
+Here the merge runs on the driver (partials are ≤ a few hundred k
+rows at bench scale). On a multi-node 100 TB run the same partials
+would first be coalesced per node (``repartition`` + a second
+``map_batches(merge)`` level) so the driver only merges
+nodes × keys rows; the associativity of sum/min/max/count makes every
+level exact. Use ``ds.groupby`` instead when the key cardinality is
+of the order of the row count (e.g. exact dedup) — then a real
+shuffle is unavoidable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+_MERGE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def tree_aggregate(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> pd.DataFrame:
+    """Grouped aggregate via combiner tree.
+
+    ``aggs``: ``{out_col: (src_col, fn)}`` with fn ∈ sum|min|max|count
+    (count ignores src_col). Returns a pandas DataFrame with columns
+    ``keys + list(aggs)``; exact for any batch split because all fns
+    are associative-mergeable.
+    """
+    spec = dict(aggs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        named = {}
+        for out, (src, fn) in spec.items():
+            if fn == "count":
+                df = df.assign(**{out: 1})
+                named[out] = pd.NamedAgg(column=out, aggfunc="sum")
+            else:
+                named[out] = pd.NamedAgg(column=src, aggfunc=fn)
+        return df.groupby(keys, as_index=False, observed=True).agg(**named)
+
+    merge_named = {
+        out: pd.NamedAgg(column=out, aggfunc=_MERGE_FN[fn])
+        for out, (_src, fn) in spec.items()
+    }
+    # stream partial batches and fold them into a running accumulator:
+    # the driver-side merge overlaps with pipeline execution instead of
+    # serializing after it (Amdahl guard for the scaling runs)
+    acc: pd.DataFrame | None = None
+    pending: list[pd.DataFrame] = []
+    pending_rows = 0
+    parts = ds.map_batches(partial, batch_format="pandas")
+    for b in parts.iter_batches(batch_size=65536, batch_format="pandas"):
+        pending.append(b)
+        pending_rows += len(b)
+        if pending_rows >= 262_144:
+            frames = ([acc] if acc is not None else []) + pending
+            acc = pd.concat(frames, ignore_index=True).groupby(
+                keys, as_index=False, observed=True
+            ).agg(**merge_named)
+            pending, pending_rows = [], 0
+    frames = ([acc] if acc is not None else []) + pending
+    if not frames:
+        return pd.DataFrame(columns=list(keys) + list(spec))
+    return pd.concat(frames, ignore_index=True).groupby(
+        keys, as_index=False, observed=True
+    ).agg(**merge_named)

@@ -32,6 +32,7 @@ import pyarrow.parquet as pq
 
 from ..functions import cells, polygons, text
 from ..spatial import knn, stages
+from . import agg
 
 # --- synthetic geo derivation (single source of truth, int math) ------------
 # events rows become trackpoints; part rows become POIs. Centidegree
@@ -95,7 +96,19 @@ CELL_LEVEL = cells.LEVEL_TILE  # 15
 POI_INDEX_LEVEL = 7  # coarser grid for the sparse POI side
 
 
+def _warm(batch: "pa.Table") -> "pa.Table":
+    """No-op batch fn living in THIS module: shipping it to a worker
+    forces the full package import chain there. bench.py maps it over
+    one tiny block per worker so timed queries never pay first-task
+    import cost (~1 s/worker — enough to anti-scale a 2 s pipeline)."""
+    return batch
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Column-pruned parquet read. Ray's read op auto-splits even a
+    single-row-group file into ~CPU-count blocks (SplitBlocks), so no
+    explicit repartition is needed — an earlier version repartitioned
+    here and the extra all-to-all DOUBLED flagship wall time."""
     import ray.data as rd
 
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -130,8 +143,8 @@ def q_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
                 "l_returnflag": df["l_returnflag"],
                 "l_linestatus": df["l_linestatus"],
@@ -141,20 +154,18 @@ def q_pricing_summary(sf_dir: str):
                     df["l_extendedprice"].to_numpy()
                     * (1.0 - df["l_discount"].to_numpy())
                 ),
-                "n_rows": np.ones(len(df), dtype=np.int64),
             }
         )
-        return out.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty_c", alias_name="sum_qty_c"),
-            Sum("sum_base_c", alias_name="sum_base_c"),
-            Sum("sum_disc_c4", alias_name="sum_disc_c4"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
+    return agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty_c": ("sum_qty_c", "sum"),
+            "sum_base_c": ("sum_base_c", "sum"),
+            "sum_disc_c4": ("sum_disc_c4", "sum"),
+            "n_rows": ("", "count"),
+        },
     )
 
 
@@ -172,8 +183,6 @@ def q_region_revenue(sf_dir: str):
     """Broadcast dimension join (customer→nation→region shipped once
     via driver lookup arrays; reference analog J4 broadcast
     manufacturer dictionary)."""
-    from ray.data.aggregate import Sum
-
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
@@ -193,28 +202,23 @@ def q_region_revenue(sf_dir: str):
     ckeys_s, cnation_s = ckeys[order_ck], cnation[order_ck]
     rname_of_nation = {n: r2name[r] for n, r in n2r.items()}
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
         ck = df["o_custkey"].to_numpy()
         pos = np.searchsorted(ckeys_s, ck)
         nk = cnation_s[pos]
         rn = pd.Series(nk).map(rname_of_nation)
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "r_name": rn.to_numpy(),
                 "revenue_c": _i100(df["o_totalprice"].to_numpy()),
-                "n_orders": np.ones(len(df), dtype=np.int64),
             }
         )
-        return out.groupby("r_name", as_index=False).sum()
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("r_name")
-        .aggregate(
-            Sum("revenue_c", alias_name="revenue_c"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
+    return agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["r_name"],
+        {"revenue_c": ("revenue_c", "sum"), "n_orders": ("", "count")},
     )
 
 
@@ -232,12 +236,10 @@ GROUP BY r_name
 
 def q_top_orders(sf_dir: str):
     """Aggregate + global top-k (deterministic tie-break)."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
                 "l_orderkey": df["l_orderkey"],
                 "revenue_c4": _i10000(
@@ -246,12 +248,19 @@ def q_top_orders(sf_dir: str):
                 ),
             }
         )
-        return out.groupby("l_orderkey", as_index=False).sum()
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby("l_orderkey").aggregate(
-        Sum("revenue_c4", alias_name="revenue_c4")
+    per_order = agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["l_orderkey"],
+        {"revenue_c4": ("revenue_c4", "sum")},
     )
-    return agg.sort(["revenue_c4", "l_orderkey"], descending=[True, False]).limit(10)
+    return (
+        per_order.sort_values(
+            ["revenue_c4", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(10)
+        .reset_index(drop=True)
+    )
 
 
 SQL_TOP_ORDERS = f"""
@@ -270,28 +279,22 @@ def q_events_hourly(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def prep(batch: pa.Table) -> pa.Table:
         ts_us = batch["ts"].cast(pa.int64()).to_numpy()
-        hour = ts_us // 3_600_000_000
-        df = pd.DataFrame(
+        return pa.table(
             {
-                "event_type": batch["event_type"].to_pandas(),
-                "hour": hour,
-                "n": np.ones(len(hour), dtype=np.int64),
-                "sum_value_c": _i100(batch["value"].to_numpy(zero_copy_only=False)),
+                "event_type": batch["event_type"],
+                "hour": pa.array(ts_us // 3_600_000_000),
+                "sum_value_c": pa.array(
+                    _i100(batch["value"].to_numpy(zero_copy_only=False))
+                ),
             }
         )
-        return pa.Table.from_pandas(
-            df.groupby(["event_type", "hour"], as_index=False).sum(),
-            preserve_index=False,
-        )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(
-            Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c")
-        )
+    return agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        {"n": ("", "count"), "sum_value_c": ("sum_value_c", "sum")},
     )
 
 
@@ -391,33 +394,27 @@ CROP_HI = "2024-01-20"
 def q_time_crop(sf_dir: str):
     """Inclusive-exclusive time-window crop (reference M3
     raw_editor.dart:201-241) + per-type aggregate."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
     lo = pd.Timestamp(CROP_LO).value // 1000
     hi = pd.Timestamp(CROP_HI).value // 1000
 
-    def crop_partial(batch: pa.Table) -> pa.Table:
+    def crop_prep(batch: pa.Table) -> pa.Table:
         ts_us = batch["ts"].cast(pa.int64())
         mask = pc.and_(pc.greater_equal(ts_us, lo), pc.less(ts_us, hi))
         b = batch.filter(mask)
-        df = pd.DataFrame(
+        return pa.table(
             {
-                "event_type": b["event_type"].to_pandas(),
-                "n": np.ones(b.num_rows, dtype=np.int64),
-                "sum_value_c": _i100(b["value"].to_numpy(zero_copy_only=False)),
+                "event_type": b["event_type"],
+                "sum_value_c": pa.array(
+                    _i100(b["value"].to_numpy(zero_copy_only=False))
+                ),
             }
         )
-        return pa.Table.from_pandas(
-            df.groupby("event_type", as_index=False).sum(), preserve_index=False
-        )
 
-    return (
-        ds.map_batches(crop_partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c")
-        )
+    return agg.tree_aggregate(
+        ds.map_batches(crop_prep, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": ("", "count"), "sum_value_c": ("sum_value_c", "sum")},
     )
 
 
@@ -435,15 +432,30 @@ GROUP BY event_type
 # =========================================================================
 
 
-def _derived_points_ds(sf_dir: str):
-    ds = _read(sf_dir, "events", ["event_id"])
+def _derived_points_ds(sf_dir: str, repeat: int = 1, points_path: str | None = None):
+    """Derived trackpoints. ``repeat > 1`` replicates each event into
+    ``repeat`` distinct synthetic points INSIDE the kernel (constant
+    IO, ×repeat compute). ``points_path`` reads event ids from a
+    MULTI-FILE parquet directory instead of the single-file events
+    table — a single parquet file is ONE serial read task in Ray, so
+    scaling runs use a many-file source like production would."""
+    if points_path is not None:
+        import ray.data as rd
+
+        ds = rd.read_parquet(points_path, columns=["event_id"])
+    else:
+        ds = _read(sf_dir, "events", ["event_id"])
 
     def derive(batch: pa.Table) -> pa.Table:
         e = batch["event_id"].to_numpy()
+        if repeat > 1:
+            e = (
+                e[None, :] + (np.arange(repeat, dtype=np.int64) * 10_000_019)[:, None]
+            ).ravel()
         lat_cd, lon_cd = event_latlon_cd(e)
         return pa.table(
             {
-                "event_id": batch["event_id"],
+                "event_id": pa.array(e),
                 "lat_cd": pa.array(lat_cd),
                 "lon_cd": pa.array(lon_cd),
                 "lat": pa.array(lat_cd / 100.0),
@@ -458,10 +470,15 @@ _EVENT_LAT_SQL = f"({EVENT_LAT_CD} / 100.0)"
 _EVENT_LON_SQL = f"({EVENT_LON_CD} / 100.0)"
 
 
-def q_cell_counts(sf_dir: str):
+def q_cell_counts(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """Vectorized lat/lng→cell + per-tile counts with the
     partial-combiner plan (north_rule tile assignment)."""
-    return stages.tile_counts(_derived_points_ds(sf_dir), level=CELL_LEVEL)
+    enc = _derived_points_ds(sf_dir, repeat, points_path).map_batches(
+        stages.add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": CELL_LEVEL}
+    )
+    return agg.tree_aggregate(
+        enc.select_columns(["cell"]), ["cell"], {"n": ("", "count")}
+    )
 
 
 SQL_CELL_COUNTS = f"""
@@ -473,7 +490,12 @@ FROM events GROUP BY cell
 
 def q_hot_cells(sf_dir: str):
     """Top-20 hottest tiles (skew probe; deterministic tie-break)."""
-    return q_cell_counts(sf_dir).sort(["n", "cell"], descending=[True, False]).limit(20)
+    return (
+        q_cell_counts(sf_dir)
+        .sort_values(["n", "cell"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
 
 
 SQL_HOT_CELLS = SQL_CELL_COUNTS.replace(
@@ -485,22 +507,17 @@ def q_pip_regions(sf_dir: str):
     """Point-in-polygon join (broadcast polygon index + cell-prefix
     pre-filter + exact ray-cast) → per-region counts."""
     import ray
-    from ray.data.aggregate import Sum
 
     idx_ref = ray.put(polygons.PolygonIndex(ORACLE_REGIONS))
     pts = _derived_points_ds(sf_dir)
     joined = pts.map_batches(
-        stages.PipJoiner,
-        fn_constructor_kwargs={"index_ref": idx_ref},
+        stages.pip_join_batch,
+        fn_kwargs={"index_ref": idx_ref},
         batch_format="pyarrow",
-        concurrency=stages.actor_pool(),
     )
-    partial = joined.map_batches(
-        stages.partial_counts,
-        batch_format="pyarrow",
-        fn_kwargs={"key_col": "region_id"},
+    return agg.tree_aggregate(
+        joined.select_columns(["region_id"]), ["region_id"], {"n": ("", "count")}
     )
-    return partial.groupby("region_id").aggregate(Sum("n", alias_name="n"))
 
 
 def _sql_pip_regions() -> str:
@@ -519,7 +536,7 @@ def _sql_pip_regions() -> str:
 SQL_PIP_REGIONS = _sql_pip_regions()
 
 
-def q_knn_poi(sf_dir: str):
+def q_knn_poi(sf_dir: str, subset_mod: int = KNN_SUBSET_MOD, repeat: int = 1, points_path: str | None = None):
     """kNN trackpoint→POI via cell-ring expansion against a broadcast
     CSR index; exact-integer centidegree distances for oracle parity."""
     import ray
@@ -535,14 +552,13 @@ def q_knn_poi(sf_dir: str):
 
     def subset(b: pa.Table) -> pa.Table:
         e = b["event_id"].to_numpy()
-        return b.filter(pa.array(e % KNN_SUBSET_MOD == 0))
+        return b.filter(pa.array(e % subset_mod == 0))
 
-    pts = _derived_points_ds(sf_dir).map_batches(subset, batch_format="pyarrow")
+    pts = _derived_points_ds(sf_dir, repeat, points_path).map_batches(subset, batch_format="pyarrow")
     joined = pts.map_batches(
-        stages.KnnPoiJoiner,
-        fn_constructor_kwargs={"index_ref": idx_ref},
+        stages.knn_join_batch,
+        fn_kwargs={"index_ref": idx_ref},
         batch_format="pyarrow",
-        concurrency=stages.actor_pool(),
     )
 
     def int_dist(batch: pa.Table) -> pa.Table:
@@ -593,8 +609,6 @@ def q_doc_dedup_exact(sf_dir: str):
     """Exact dedup: content-hash partition, keep smallest doc_id
     (hash computed per batch so the shuffle carries 32-byte keys, not
     document bodies)."""
-    from ray.data.aggregate import Count, Min
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
@@ -608,12 +622,12 @@ def q_doc_dedup_exact(sf_dir: str):
             }
         )
 
-    agg = (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    grouped = agg.tree_aggregate(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        ["h"],
+        {"doc_id": ("doc_id", "min"), "n_copies": ("", "count")},
     )
-    return agg.select_columns(["doc_id", "n_copies"])
+    return grouped[["doc_id", "n_copies"]]
 
 
 SQL_DOC_DEDUP_EXACT = """
@@ -624,29 +638,25 @@ FROM documents GROUP BY text
 
 def q_doc_token_stats(sf_dir: str):
     """Per-language corpus stats; tokenizer shared with the oracle."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
                 "lang": df["lang"],
-                "n_docs": np.ones(len(df), dtype=np.int64),
                 "sum_tokens": text.token_count(df["text"]),
                 "sum_chars": df["text"].fillna("").str.len().to_numpy(np.int64),
             }
         )
-        return out.groupby("lang", as_index=False).sum()
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("lang")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("sum_tokens", alias_name="sum_tokens"),
-            Sum("sum_chars", alias_name="sum_chars"),
-        )
+    return agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["lang"],
+        {
+            "n_docs": ("", "count"),
+            "sum_tokens": ("sum_tokens", "sum"),
+            "sum_chars": ("sum_chars", "sum"),
+        },
     )
 
 
@@ -661,8 +671,6 @@ FROM documents GROUP BY lang
 def q_doc_fingerprint_groups(sf_dir: str):
     """Near-dup clustering key: first-5-token fingerprint groups
     (document fingerprinting family, task brief)."""
-    from ray.data.aggregate import Count, Min
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def add_fp(df: pd.DataFrame) -> pd.DataFrame:
@@ -670,12 +678,12 @@ def q_doc_fingerprint_groups(sf_dir: str):
             {"doc_id": df["doc_id"], "fp": text.token_fingerprint(df["text"], 5)}
         )
 
-    agg = (
-        ds.map_batches(add_fp, batch_format="pandas")
-        .groupby("fp")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_members"))
+    grouped = agg.tree_aggregate(
+        ds.map_batches(add_fp, batch_format="pandas"),
+        ["fp"],
+        {"doc_id": ("doc_id", "min"), "n_members": ("", "count")},
     )
-    return agg.select_columns(["doc_id", "n_members"])
+    return grouped[["doc_id", "n_members"]]
 
 
 SQL_DOC_FINGERPRINT = r"""
@@ -689,23 +697,15 @@ def q_lang_id_counts(sf_dir: str):
     """Language-ID heuristic (stopword voting) — no SQL oracle (the
     heuristic isn't SQL-expressible); rows-only driver check, exact
     oracle in tests/test_text.py."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "documents", ["text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "lang_pred": text.lang_id(df["text"]),
-                "n_docs": np.ones(len(df), dtype=np.int64),
-            }
-        )
-        return out.groupby("lang_pred", as_index=False).sum()
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang_pred": text.lang_id(df["text"])})
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("lang_pred")
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    return agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["lang_pred"],
+        {"n_docs": ("", "count")},
     )
 
 
@@ -723,10 +723,20 @@ def q_embed_axis_topk(sf_dir: str):
         v = pc.list_element(batch["embedding"], 0).cast(pa.float64())
         return pa.table({"vec_id": batch["vec_id"], "v": v})
 
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["v", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(10), preserve_index=False)
+
+    parts = ds.map_batches(first_comp, batch_format="pyarrow").map_batches(
+        batch_topk, batch_format="pyarrow"
+    )
     return (
-        ds.map_batches(first_comp, batch_format="pyarrow")
-        .sort(["v", "vec_id"], descending=[True, False])
-        .limit(10)
+        parts.to_pandas()
+        .sort_values(["v", "vec_id"], ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
     )
 
 
@@ -758,9 +768,13 @@ def q_embed_cosine_topk(sf_dir: str):
             }
         )
 
-    return ds.map_batches(batch_topk, batch_format="pyarrow").sort(
-        ["cos", "vec_id"], descending=[True, False]
-    ).limit(10)
+    return (
+        ds.map_batches(batch_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
 
 
 def _embedding_query_vector(sf_dir: str) -> np.ndarray:
@@ -769,37 +783,30 @@ def _embedding_query_vector(sf_dir: str) -> np.ndarray:
     return np.asarray(v0, dtype=np.float64)
 
 
-def flagship_spatial(sf_dir: str):
+def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """The headline spatial pipeline (driver smoke check / bench):
     derive trackpoints → vectorized cell encode → broadcast PIP join
     → per-(region, tile) counts via partial-combiner groupby.
 
-    Every stage streams; the only exchange is the final small groupby
-    over per-batch partials."""
+    Every stage streams; the per-batch partials collapse before the
+    final combiner-tree merge (see pipelines/agg.py)."""
     import ray
-    from ray.data.aggregate import Sum
 
     idx_ref = ray.put(polygons.PolygonIndex(ORACLE_REGIONS))
-    pts = _derived_points_ds(sf_dir)
+    pts = _derived_points_ds(sf_dir, repeat, points_path)
     enc = pts.map_batches(
         stages.add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": CELL_LEVEL}
     )
     joined = enc.map_batches(
-        stages.PipJoiner,
-        fn_constructor_kwargs={"index_ref": idx_ref},
+        stages.pip_join_batch,
+        fn_kwargs={"index_ref": idx_ref},
         batch_format="pyarrow",
-        concurrency=stages.actor_pool(),
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[["region_id", "cell"]].copy()
-        df["n"] = np.int64(1)
-        return df.groupby(["region_id", "cell"], as_index=False).sum()
-
-    return (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby(["region_id", "cell"])
-        .aggregate(Sum("n", alias_name="n"))
+    return agg.tree_aggregate(
+        joined.select_columns(["region_id", "cell"]),
+        ["region_id", "cell"],
+        {"n": ("", "count")},
     )
 
 

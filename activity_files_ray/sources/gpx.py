@@ -1,0 +1,268 @@
+"""GPX parser + encoder kernels.
+
+Semantics from the reference's GPX handling (``/root/reference/lib/
+src/parse/gpx_parser.dart:60-450``, encoder ``lib/src/encode/
+gpx_encoder.dart:13-491``), re-implemented from the public GPX 1.1
+spec — NOT a port:
+
+* trk/trkseg/trkpt with lat/lon attributes, ele, time children;
+  multi-segment tracking via segment-start indices
+  (models.dart:1270); skip-and-diagnose on missing lat/lon.
+* Garmin TPX extensions → channels (hr, cad, atemp, power — the
+  reference maps TPX tags to channels, gpx_parser.dart:34-46).
+* waypoints (wpt) and routes (rte) counted/preserved.
+* Encoder: GPX 1.1, points re-split by segments, channels re-joined
+  onto points by nearest-timestamp within tolerance (the J1 as-of
+  join, gpx_encoder.dart:139-156,205-215), 7-decimal lat/lon and
+  2-decimal ele rounding (gpx_encoder.dart:219-231,429).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pandas as pd
+
+from .model import ParsedActivity, iso_to_us, us_to_iso
+
+# TPX/extension tag (localname, lowercased) → channel id
+_EXT_CHANNELS = {
+    "hr": "heart_rate",
+    "heartrate": "heart_rate",
+    "cad": "cadence",
+    "cadence": "cadence",
+    "atemp": "temperature",
+    "temp": "temperature",
+    "power": "power",
+    "watts": "power",
+    "speed": "speed",
+    "depth": "depth",
+}
+
+_SPORT_WORDS = {
+    "running": "running", "run": "running",
+    "cycling": "cycling", "biking": "cycling", "bike": "cycling", "ride": "cycling",
+    "swimming": "swimming", "swim": "swimming",
+    "hiking": "hiking", "hike": "hiking",
+    "walking": "walking", "walk": "walking",
+}
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def parse_gpx(data: bytes, activity_id: str) -> ParsedActivity:
+    out = ParsedActivity(activity_id)
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError as e:
+        out.diag("error", "gpx.parse.invalid_xml", str(e), "")
+        return out
+    if _local(root.tag) != "gpx":
+        out.diag("error", "gpx.parse.not_gpx", f"root element {root.tag}", "")
+        return out
+    out.creator = root.get("creator")
+    for child in root:
+        loc = _local(child.tag)
+        if loc == "metadata":
+            for m in child:
+                if _local(m.tag) == "name" and m.text:
+                    out.name = m.text
+                elif _local(m.tag) == "time" and m.text:
+                    out.metadata["time"] = m.text
+        elif loc == "wpt":
+            out.n_waypoints += 1
+        elif loc == "rte":
+            out.n_routes += 1
+        elif loc == "trk":
+            _parse_trk(child, out)
+    if out.sport is None and out.name:
+        for w in re.findall(r"\w+", out.name.lower()):
+            if w in _SPORT_WORDS:
+                out.sport = _SPORT_WORDS[w]
+                break
+    return out
+
+
+def _parse_trk(trk, out: ParsedActivity) -> None:
+    for child in trk:
+        loc = _local(child.tag)
+        if loc == "name" and child.text and out.name is None:
+            out.name = child.text
+        elif loc == "type" and child.text:
+            out.sport = _SPORT_WORDS.get(child.text.strip().lower(), out.sport)
+        elif loc == "trkseg":
+            seg_start = len(out.ts_us)
+            n_before = len(out.ts_us)
+            for pt in child:
+                if _local(pt.tag) == "trkpt":
+                    _parse_trkpt(pt, out)
+            if len(out.ts_us) > n_before:
+                out.segment_starts.append(seg_start)
+
+
+def _parse_trkpt(pt, out: ParsedActivity) -> None:
+    lat_s, lon_s = pt.get("lat"), pt.get("lon")
+    if lat_s is None or lon_s is None:
+        out.diag(
+            "warning", "gpx.point.missing_coordinate",
+            "trkpt without lat/lon skipped", f"points[{len(out.ts_us)}]",
+        )
+        return
+    try:
+        lat, lon = float(lat_s), float(lon_s)
+    except ValueError:
+        out.diag(
+            "warning", "gpx.point.invalid_coordinate",
+            f"unparseable lat/lon {lat_s!r},{lon_s!r}", f"points[{len(out.ts_us)}]",
+        )
+        return
+    ele = None
+    ts = None
+    ext_samples: list[tuple[str, float]] = []
+    for c in pt:
+        loc = _local(c.tag)
+        if loc == "ele" and c.text:
+            try:
+                ele = float(c.text)
+            except ValueError:
+                out.diag("warning", "gpx.point.invalid_elevation", c.text, "")
+        elif loc == "time" and c.text:
+            ts = iso_to_us(c.text)
+            if ts is None:
+                out.diag("warning", "gpx.point.invalid_time", c.text, "")
+        elif loc == "extensions":
+            _collect_ext(c, ext_samples)
+    if ts is None:
+        # pointless without time for a time-series engine: keep the
+        # point with a synthetic monotone time? The reference keeps
+        # points without time only for route-like data; we mirror the
+        # skip-and-diagnose path.
+        out.diag(
+            "warning", "gpx.point.missing_time",
+            "trkpt without <time> skipped", f"points[{len(out.ts_us)}]",
+        )
+        return
+    out.add_point(ts, lat, lon, ele)
+    for name, val in ext_samples:
+        out.add_sample(name, ts, val)
+
+
+def _collect_ext(node, acc: list) -> None:
+    for c in node:
+        loc = _local(c.tag)
+        ch = _EXT_CHANNELS.get(loc)
+        if ch is not None and c.text:
+            try:
+                acc.append((ch, float(c.text)))
+            except ValueError:
+                pass
+        else:
+            _collect_ext(c, acc)
+
+
+# --- encoder -----------------------------------------------------------------
+
+GPX_NS = "http://www.topografix.com/GPX/1/1"
+TPX_NS = "http://www.garmin.com/xmlschemas/TrackPointExtension/v1"
+_TPX_TAGS = {"heart_rate": "hr", "cadence": "cad", "temperature": "atemp"}
+
+DEFAULT_TOLERANCE_US = 5_000_000  # 5 s default channel join tolerance
+# (encoder_options.dart:13,41-42)
+
+
+def nearest_join(
+    point_ts: np.ndarray, sample_ts: np.ndarray, sample_val: np.ndarray,
+    tolerance_us: int = DEFAULT_TOLERANCE_US,
+) -> np.ndarray:
+    """J1 as-of/nearest join: for each point timestamp, the nearest
+    sample value within tolerance, NaN otherwise
+    (channel_mapper.dart:103-156 semantics via searchsorted)."""
+    if sample_ts.size == 0:
+        return np.full(point_ts.size, np.nan)
+    order = np.argsort(sample_ts, kind="stable")
+    sts, sval = sample_ts[order], sample_val[order]
+    pos = np.searchsorted(sts, point_ts)
+    left = np.clip(pos - 1, 0, sts.size - 1)
+    right = np.clip(pos, 0, sts.size - 1)
+    dl = np.abs(point_ts - sts[left])
+    dr = np.abs(sts[right] - point_ts)
+    use_right = dr < dl  # strict: ties go to the EARLIER sample
+    best = np.where(use_right, right, left)
+    dist = np.where(use_right, dr, dl)
+    out = np.where(dist <= tolerance_us, sval[best], np.nan)
+    return out
+
+
+def encode_gpx(
+    points: pd.DataFrame,
+    channels: pd.DataFrame | None = None,
+    name: str | None = None,
+    creator: str = "activity_files_ray",
+    segment_starts: list[int] | None = None,
+    tolerance_us: int = DEFAULT_TOLERANCE_US,
+) -> bytes:
+    """points (sorted by ts_us) + long-form channels → GPX 1.1 bytes.
+
+    Deterministic output: fixed attribute order, 7-decimal lat/lon,
+    2-decimal ele (gpx_encoder.dart:219-231), sorted channel tags.
+    """
+    ts = points["ts_us"].to_numpy(np.int64)
+    lat = points["lat"].to_numpy(np.float64)
+    lon = points["lon"].to_numpy(np.float64)
+    ele = points["ele"].to_numpy(np.float64) if "ele" in points else np.full(ts.size, np.nan)
+    joined: dict[str, np.ndarray] = {}
+    if channels is not None and len(channels):
+        for ch, g in channels.groupby("channel", observed=True):
+            joined[str(ch)] = nearest_join(
+                ts, g["ts_us"].to_numpy(np.int64), g["value"].to_numpy(np.float64),
+                tolerance_us,
+            )
+    segs = sorted(set(segment_starts or [0])) or [0]
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f'<gpx version="1.1" creator="{_esc(creator)}" xmlns="{GPX_NS}" '
+        f'xmlns:gpxtpx="{TPX_NS}">\n<trk>\n'
+    ]
+    if name:
+        parts.append(f"<name>{_esc(name)}</name>\n")
+    bounds = segs + [ts.size]
+    for si in range(len(segs)):
+        parts.append("<trkseg>\n")
+        for i in range(bounds[si], bounds[si + 1]):
+            parts.append(f'<trkpt lat="{lat[i]:.7f}" lon="{lon[i]:.7f}">')
+            if np.isfinite(ele[i]):
+                parts.append(f"<ele>{ele[i]:.2f}</ele>")
+            parts.append(f"<time>{us_to_iso(int(ts[i]))}</time>")
+            exts = []
+            for ch in sorted(joined):
+                v = joined[ch][i]
+                if not np.isfinite(v):
+                    continue
+                tag = _TPX_TAGS.get(ch)
+                if tag is not None:
+                    exts.append(f"<gpxtpx:{tag}>{_num(v)}</gpxtpx:{tag}>")
+            if exts:
+                parts.append(
+                    "<extensions><gpxtpx:TrackPointExtension>"
+                    + "".join(exts)
+                    + "</gpxtpx:TrackPointExtension></extensions>"
+                )
+            parts.append("</trkpt>\n")
+        parts.append("</trkseg>\n")
+    parts.append("</trk>\n</gpx>\n")
+    return "".join(parts).encode()
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _num(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else repr(float(v))

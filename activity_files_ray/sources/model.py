@@ -1,0 +1,142 @@
+"""The parse-result interchange shape shared by all format kernels.
+
+Mirrors the reference's ``ActivityParseResult`` (``/root/reference/
+lib/src/parse/parse_result.dart:188-236``): parsed content + a
+diagnostics list; parsers NEVER throw on malformed content — errors
+become diagnostics (§7.1 invariant 1).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def iso_to_us(s: str) -> int | None:
+    """Lenient ISO-8601 → unix µs, always UTC-normalized (the
+    reference calls .toUtc() on every parsed time, models.dart:280)."""
+    if not s:
+        return None
+    s = s.strip()
+    try:
+        if s.endswith("Z"):
+            s = s[:-1] + "+00:00"
+        dt = _dt.datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return int((dt - EPOCH).total_seconds() * 1_000_000)
+
+
+def us_to_iso(ts_us: int) -> str:
+    dt = EPOCH + _dt.timedelta(microseconds=int(ts_us))
+    if ts_us % 1_000_000 == 0:
+        return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.%f").rstrip("0") + "Z"
+
+
+@dataclass
+class ParsedActivity:
+    """One payload's parse output, columnar-ready."""
+
+    activity_id: str
+    # points: parallel lists
+    ts_us: list = field(default_factory=list)
+    lat: list = field(default_factory=list)
+    lon: list = field(default_factory=list)
+    ele: list = field(default_factory=list)  # None allowed
+    segment_starts: list = field(default_factory=list)  # point indices
+    # channels: long form
+    ch_name: list = field(default_factory=list)
+    ch_ts_us: list = field(default_factory=list)
+    ch_value: list = field(default_factory=list)
+    # spans (laps etc.)
+    span_kind: list = field(default_factory=list)
+    span_start_us: list = field(default_factory=list)
+    span_end_us: list = field(default_factory=list)
+    span_sport: list = field(default_factory=list)
+    span_dist_m: list = field(default_factory=list)  # None allowed
+    # activity-level
+    sport: str | None = None
+    creator: str | None = None
+    name: str | None = None
+    metadata: dict = field(default_factory=dict)
+    n_waypoints: int = 0
+    n_routes: int = 0
+    # diagnostics: (severity, code, message, path)
+    diags: list = field(default_factory=list)
+
+    def diag(self, severity: str, code: str, message: str, path: str = "") -> None:
+        self.diags.append((severity, code, message, path))
+
+    def add_point(self, ts_us, lat, lon, ele=None) -> None:
+        self.ts_us.append(ts_us)
+        self.lat.append(lat)
+        self.lon.append(lon)
+        self.ele.append(ele)
+
+    def add_sample(self, name: str, ts_us, value: float) -> None:
+        # channel-id normalization: trim + lowercase (models.dart:262)
+        self.ch_name.append(name.strip().lower())
+        self.ch_ts_us.append(ts_us)
+        self.ch_value.append(float(value))
+
+    def points_df(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "activity_id": self.activity_id,
+                "seq": np.arange(len(self.ts_us), dtype=np.int32),
+                "ts_us": np.asarray(self.ts_us, dtype=np.int64)
+                if self.ts_us
+                else np.array([], dtype=np.int64),
+                "lat": np.asarray(self.lat, dtype=np.float64),
+                "lon": np.asarray(self.lon, dtype=np.float64),
+                "ele": np.asarray(
+                    [np.nan if e is None else e for e in self.ele], dtype=np.float64
+                ),
+            }
+        )
+
+    def channels_df(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "activity_id": self.activity_id,
+                "channel": self.ch_name,
+                "ts_us": np.asarray(self.ch_ts_us, dtype=np.int64)
+                if self.ch_ts_us
+                else np.array([], dtype=np.int64),
+                "value": np.asarray(self.ch_value, dtype=np.float64),
+            }
+        )
+
+    def spans_df(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "activity_id": self.activity_id,
+                "kind": self.span_kind,
+                "start_us": np.asarray(self.span_start_us, dtype=np.int64)
+                if self.span_start_us
+                else np.array([], dtype=np.int64),
+                "end_us": np.asarray(self.span_end_us, dtype=np.int64)
+                if self.span_end_us
+                else np.array([], dtype=np.int64),
+                "sport": self.span_sport,
+                "dist_m": np.asarray(
+                    [np.nan if d is None else d for d in self.span_dist_m],
+                    dtype=np.float64,
+                ),
+            }
+        )
+
+    def diags_df(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            self.diags, columns=["severity", "code", "message", "path"]
+        ).assign(activity_id=self.activity_id)[
+            ["activity_id", "severity", "code", "message", "path"]
+        ]

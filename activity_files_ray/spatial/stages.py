@@ -1,9 +1,20 @@
 """Ray Data stages of the spatial core.
 
 Each stage is a batch kernel usable with
-``ds.map_batches(..., batch_format="pyarrow")``; stateful ones are
-callable CLASSES (actor pools) that resolve their broadcast index
-(``ray.put`` object ref) ONCE in ``__init__`` — never per batch.
+``ds.map_batches(..., batch_format="pyarrow")``. Broadcast-state
+stages come in two equivalent forms:
+
+* plain FUNCTIONS (``pip_join_batch`` / ``knn_join_batch``) taking the
+  ``ray.put`` object ref via ``fn_kwargs`` and resolving it through a
+  per-worker-process cache — Ray task workers persist across tasks,
+  so each worker pays one ``ray.get`` total. Zero actor-startup cost;
+  the right choice when the broadcast state is small-to-medium
+  (region polygons, POI indexes).
+* callable CLASSES (``PipJoiner`` / ``KnnPoiJoiner`` /
+  ``RouteTileExtractor``) for actor pools, resolving the ref ONCE in
+  ``__init__`` — the right choice when per-worker state is heavy
+  (image codec contexts, model weights) or needs explicit pool
+  sizing / GPU placement.
 
 Scale notes (the whole point of this engine):
 * the big side (points / images) only ever streams through
@@ -48,6 +59,22 @@ def _resolve(ref: Any) -> Any:
             return ray.get(ref)
     except ImportError:
         pass
+    return ref
+
+
+# per-worker-process broadcast cache: task workers persist across
+# tasks within a Ray session, so each worker resolves a given object
+# ref exactly once (actor-like amortization without actor startup)
+_WORKER_CACHE: dict[Any, Any] = {}
+
+
+def _resolve_cached(ref: Any) -> Any:
+    if type(ref).__name__ == "ObjectRef":
+        hit = _WORKER_CACHE.get(ref)
+        if hit is None:
+            hit = _resolve(ref)
+            _WORKER_CACHE[ref] = hit
+        return hit
     return ref
 
 
@@ -100,28 +127,66 @@ class PipJoiner:
         self.lon_col = lon_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
-        prefix = cells.cell_id(lat, lon, self.index.level)
-        take_idx: list[np.ndarray] = []
-        region_ids: list[np.ndarray] = []
-        for c, poly_idx in self.index.candidates(prefix).items():
-            in_cell = np.nonzero(prefix == c)[0]
-            for pi in poly_idx:
-                poly = self.index.polygons[pi]
-                hit = polygons.points_in_polygon(lat[in_cell], lon[in_cell], poly)
-                rows = in_cell[hit]
-                if rows.size:
-                    take_idx.append(rows)
-                    region_ids.append(np.full(rows.size, poly.region_id, dtype=object))
-        if not take_idx:
-            empty = batch.slice(0, 0)
-            return empty.append_column("region_id", pa.array([], type=pa.string()))
-        idx = np.concatenate(take_idx)
-        rids = np.concatenate(region_ids)
-        order = np.argsort(idx, kind="stable")
-        out = batch.take(pa.array(idx[order]))
-        return out.append_column("region_id", pa.array(rids[order], type=pa.string()))
+        return _pip_join_impl(batch, self.index, self.lat_col, self.lon_col)
+
+
+def pip_join_batch(
+    batch: pa.Table, index_ref: Any, lat_col: str = "lat", lon_col: str = "lon"
+) -> pa.Table:
+    """Task-function form of :class:`PipJoiner` (worker-cached
+    broadcast; see module docstring)."""
+    return _pip_join_impl(batch, _resolve_cached(index_ref), lat_col, lon_col)
+
+
+def _pip_join_impl(
+    batch: pa.Table, index: polygons.PolygonIndex, lat_col: str, lon_col: str
+) -> pa.Table:
+    from ..functions.gather import multi_range_gather
+
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    prefix = cells.cell_id(lat, lon, index.level)
+    # group batch rows by prefix cell (argsort + boundaries — no
+    # per-cell full-batch masks)
+    order = np.argsort(prefix, kind="stable")
+    sp = prefix[order]
+    uniq, cell_starts = np.unique(sp, return_index=True)
+    cell_ends = np.append(cell_starts[1:], sp.size)
+    # vectorized candidate lookup: (cell, poly) pairs
+    counts, pair_poly = index.polys_in_cells(uniq)
+    pair_cell_idx = np.repeat(np.arange(uniq.size), counts)
+    if pair_poly.size == 0:
+        empty = batch.slice(0, 0)
+        return empty.append_column("region_id", pa.array([], type=pa.string()))
+    # expand each (cell, poly) pair to its candidate row indices
+    rows_per_pair = cell_ends[pair_cell_idx] - cell_starts[pair_cell_idx]
+    flat_pos = multi_range_gather(cell_starts[pair_cell_idx], rows_per_pair)
+    cand_rows = order[flat_pos]
+    cand_poly = np.repeat(pair_poly, rows_per_pair)
+    # one exact ray-cast per polygon over its contiguous candidates
+    take_idx: list[np.ndarray] = []
+    region_ids: list[np.ndarray] = []
+    psort = np.argsort(cand_poly, kind="stable")
+    cand_rows = cand_rows[psort]
+    cand_poly = cand_poly[psort]
+    pu, pstarts = np.unique(cand_poly, return_index=True)
+    pends = np.append(pstarts[1:], cand_poly.size)
+    for k in range(pu.size):
+        poly = index.polygons[int(pu[k])]
+        rows = cand_rows[pstarts[k] : pends[k]]
+        hit = polygons.points_in_polygon(lat[rows], lon[rows], poly)
+        sel = rows[hit]
+        if sel.size:
+            take_idx.append(sel)
+            region_ids.append(np.full(sel.size, poly.region_id, dtype=object))
+    if not take_idx:
+        empty = batch.slice(0, 0)
+        return empty.append_column("region_id", pa.array([], type=pa.string()))
+    idx = np.concatenate(take_idx)
+    rids = np.concatenate(region_ids)
+    rsort = np.argsort(idx, kind="stable")
+    out = batch.take(pa.array(idx[rsort]))
+    return out.append_column("region_id", pa.array(rids[rsort], type=pa.string()))
 
 
 class KnnPoiJoiner:
@@ -137,14 +202,33 @@ class KnnPoiJoiner:
         self.lon_col = lon_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
-        rows, d2 = knn.nearest_poi(lat, lon, self.index)
-        found = rows >= 0
-        ids = np.where(found, self.index.poi_ids[np.clip(rows, 0, None)], None)
-        return batch.append_column(
-            "poi_id", pa.array(ids.tolist(), type=pa.from_numpy_dtype(self.index.poi_ids.dtype) if self.index.poi_ids.dtype != object else pa.string())
-        ).append_column("dist2_deg", pa.array(np.where(found, d2, np.nan)))
+        return _knn_join_impl(batch, self.index, self.lat_col, self.lon_col)
+
+
+def knn_join_batch(
+    batch: pa.Table, index_ref: Any, lat_col: str = "lat", lon_col: str = "lon"
+) -> pa.Table:
+    """Task-function form of :class:`KnnPoiJoiner` (worker-cached
+    broadcast; see module docstring)."""
+    return _knn_join_impl(batch, _resolve_cached(index_ref), lat_col, lon_col)
+
+
+def _knn_join_impl(
+    batch: pa.Table, index: knn.PoiIndex, lat_col: str, lon_col: str
+) -> pa.Table:
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    rows, d2 = knn.nearest_poi(lat, lon, index)
+    found = rows >= 0
+    ids = np.where(found, index.poi_ids[np.clip(rows, 0, None)], None)
+    id_type = (
+        pa.string()
+        if index.poi_ids.dtype == object
+        else pa.from_numpy_dtype(index.poi_ids.dtype)
+    )
+    return batch.append_column(
+        "poi_id", pa.array(ids.tolist(), type=id_type)
+    ).append_column("dist2_deg", pa.array(np.where(found, d2, np.nan)))
 
 
 class RouteTileExtractor:
@@ -164,45 +248,52 @@ class RouteTileExtractor:
         self.level = level
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .. import fixtures
+        return route_tile_batch(batch, self.level)
 
-        img_ids: list[np.ndarray] = []
-        cell_out: list[np.ndarray] = []
-        npx_out: list[np.ndarray] = []
-        ids = batch["image_id"].to_pylist()
-        payloads = batch["bytes"].to_pylist()
-        caps = batch["caption"].to_pylist()
-        ws = batch["w"].to_numpy()
-        hs = batch["h"].to_numpy()
-        for i in range(batch.num_rows):
-            rgb = imaging.decode_image(payloads[i])
-            rows, colm = imaging.extract_route_pixels(rgb)
-            if rows.size == 0:
-                continue
-            lat_min, lon_min, lat_max, lon_max = fixtures.parse_caption_bbox(caps[i])
-            lat, lon = imaging.pixels_to_latlon(
-                rows, colm, int(hs[i]), int(ws[i]), lat_min, lat_max, lon_min, lon_max
-            )
-            cid = cells.cell_id(lat, lon, self.level)
-            uc, cnt = np.unique(cid, return_counts=True)
-            img_ids.append(np.full(uc.size, ids[i], dtype=object))
-            cell_out.append(uc)
-            npx_out.append(cnt)
-        if not img_ids:
-            return pa.table(
-                {
-                    "image_id": pa.array([], type=pa.string()),
-                    "cell": pa.array([], type=pa.int64()),
-                    "n_px": pa.array([], type=pa.int64()),
-                }
-            )
+
+def route_tile_batch(batch: pa.Table, level: int = cells.LEVEL_TILE) -> pa.Table:
+    """Task-function form of :class:`RouteTileExtractor` (the codec
+    here is stateless pure-numpy; a libjpeg-backed deployment keeps
+    the actor form for codec contexts)."""
+    from .. import fixtures
+
+    img_ids: list[np.ndarray] = []
+    cell_out: list[np.ndarray] = []
+    npx_out: list[np.ndarray] = []
+    ids = batch["image_id"].to_pylist()
+    payloads = batch["bytes"].to_pylist()
+    caps = batch["caption"].to_pylist()
+    ws = batch["w"].to_numpy()
+    hs = batch["h"].to_numpy()
+    for i in range(batch.num_rows):
+        rgb = imaging.decode_image(payloads[i])
+        rows, colm = imaging.extract_route_pixels(rgb)
+        if rows.size == 0:
+            continue
+        lat_min, lon_min, lat_max, lon_max = fixtures.parse_caption_bbox(caps[i])
+        lat, lon = imaging.pixels_to_latlon(
+            rows, colm, int(hs[i]), int(ws[i]), lat_min, lat_max, lon_min, lon_max
+        )
+        cid = cells.cell_id(lat, lon, level)
+        uc, cnt = np.unique(cid, return_counts=True)
+        img_ids.append(np.full(uc.size, ids[i], dtype=object))
+        cell_out.append(uc)
+        npx_out.append(cnt)
+    if not img_ids:
         return pa.table(
             {
-                "image_id": pa.array(np.concatenate(img_ids).tolist(), type=pa.string()),
-                "cell": pa.array(np.concatenate(cell_out)),
-                "n_px": pa.array(np.concatenate(npx_out).astype(np.int64)),
+                "image_id": pa.array([], type=pa.string()),
+                "cell": pa.array([], type=pa.int64()),
+                "n_px": pa.array([], type=pa.int64()),
             }
         )
+    return pa.table(
+        {
+            "image_id": pa.array(np.concatenate(img_ids).tolist(), type=pa.string()),
+            "cell": pa.array(np.concatenate(cell_out)),
+            "n_px": pa.array(np.concatenate(npx_out).astype(np.int64)),
+        }
+    )
 
 
 def partial_counts(

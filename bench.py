@@ -21,28 +21,66 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-IMAGES_CACHE = "/tmp/afr_bench_images_v1.parquet"
 N_BENCH_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "300"))
+IMAGES_CACHE = f"/tmp/afr_bench_images_{N_BENCH_IMAGES}_v2"
+HEAVY = os.environ.get("GRAFT_BENCH_HEAVY", "") == "1"
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _ensure_images() -> str:
-    """Deterministic image+caption table cached on disk (generation is
-    driver-side fixture work, excluded from timed stages)."""
+    """Deterministic image+caption table cached on disk as a MULTI-FILE
+    parquet directory (a single parquet file is one serial read task
+    in Ray; production inputs are many files). Generation is
+    driver-side fixture work, excluded from timed stages."""
     import pyarrow.parquet as pq
 
-    if not os.path.exists(IMAGES_CACHE):
+    done = os.path.join(IMAGES_CACHE, "_SUCCESS")
+    if not os.path.exists(done):
         from activity_files_ray import fixtures
 
+        os.makedirs(IMAGES_CACHE, exist_ok=True)
         t = fixtures.make_images(N_BENCH_IMAGES, seed=42)
-        pq.write_table(t, IMAGES_CACHE + ".tmp")
-        os.replace(IMAGES_CACHE + ".tmp", IMAGES_CACHE)
+        per_file = 50
+        for i in range(0, t.num_rows, per_file):
+            pq.write_table(
+                t.slice(i, per_file), f"{IMAGES_CACHE}/part-{i // per_file:05d}.parquet"
+            )
+        open(done, "w").close()
     return IMAGES_CACHE
+
+
+POINTS_FILES = int(os.environ.get("GRAFT_BENCH_POINT_FILES", "128"))
+POINTS_ROWS_PER_FILE = int(os.environ.get("GRAFT_BENCH_POINT_ROWS", "50000"))
+POINTS_CACHE = f"/tmp/afr_bench_points_{POINTS_FILES}x{POINTS_ROWS_PER_FILE}"
+
+
+def _ensure_points() -> str:
+    """Synthetic event-id shards for the scaling run: many files so
+    the read parallelizes like a production corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    done = os.path.join(POINTS_CACHE, "_SUCCESS")
+    if not os.path.exists(done):
+        os.makedirs(POINTS_CACHE, exist_ok=True)
+        for f in range(POINTS_FILES):
+            ids = np.arange(
+                f * POINTS_ROWS_PER_FILE, (f + 1) * POINTS_ROWS_PER_FILE, dtype=np.int64
+            )
+            pq.write_table(
+                pa.table({"event_id": pa.array(ids)}),
+                f"{POINTS_CACHE}/part-{f:05d}.parquet",
+            )
+        open(done, "w").close()
+    return POINTS_CACHE
 
 
 def _consume(res) -> int:
     """Materialize a (small) result; returns row count."""
+    if isinstance(res, int):
+        return res
     if hasattr(res, "to_pandas"):
         df = res.to_pandas()
         return len(df)
@@ -73,43 +111,92 @@ def run_bench() -> dict:
     n_events = pq.ParquetFile(f"{SF_DIR}/events.parquet").metadata.num_rows
     n_lineitem = pq.ParquetFile(f"{SF_DIR}/lineitem.parquet").metadata.num_rows
 
-    # untimed warm-up read: page cache + Ray worker startup
+    # untimed warm-up: page cache + spin up the FULL worker pool so the
+    # first timed query doesn't absorb worker-process startup
     import ray.data as rd
 
     rd.read_parquet(f"{SF_DIR}/events.parquet").count()
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
+        q._warm, batch_format="pyarrow", batch_size=1
+    ).count()
 
     def bench_raster_tiling():
         from ray.data.aggregate import Sum
 
         ds = rd.read_parquet(img_path).map_batches(
-            stages.RouteTileExtractor,
+            stages.route_tile_batch,
             batch_format="pyarrow",
-            concurrency=stages.actor_pool(),
             batch_size=16,
         )
         return ds.groupby("cell").aggregate(Sum("n_px", alias_name="n_px"))
 
-    timed = {
-        "flagship_pip_tiles": lambda: q.flagship_spatial(SF_DIR),
-        "cell_counts": lambda: q.q_cell_counts(SF_DIR),
-        "knn_poi": lambda: q.q_knn_poi(SF_DIR),
-        "raster_tiling": bench_raster_tiling,
-        "pricing_summary": lambda: q.q_pricing_summary(SF_DIR),
-        "events_hourly": lambda: q.q_events_hourly(SF_DIR),
-        "doc_token_stats": lambda: q.q_doc_token_stats(SF_DIR),
-        "embed_cosine_topk": lambda: q.q_embed_cosine_topk(SF_DIR),
-    }
-    # rows processed per pipeline (for rows/sec reporting)
-    rows_in = {
-        "flagship_pip_tiles": n_events,
-        "cell_counts": n_events,
-        "knn_poi": n_events // q.KNN_SUBSET_MOD,
-        "raster_tiling": N_BENCH_IMAGES,
-        "pricing_summary": n_lineitem,
-        "events_hourly": n_events,
-        "doc_token_stats": pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows,
-        "embed_cosine_topk": pq.ParquetFile(f"{SF_DIR}/embeddings.parquet").metadata.num_rows,
-    }
+    if HEAVY:
+        # compute-bound variants for the N-vs-4N scaling measurement:
+        # multi-file point shards + in-kernel replication so the two
+        # parallelism levels measure compute + shuffle, not Ray's
+        # fixed per-stage overheads or a serial single-file read
+        pts_path = _ensure_points()
+        n_pts = POINTS_FILES * POINTS_ROWS_PER_FILE
+        R = 10
+
+        def knn_count():
+            # consume via count(): all map compute, no driver merge —
+            # the scaling metric isolates the kNN match throughput
+            joined = q.q_knn_poi(SF_DIR, subset_mod=1, points_path=pts_path)
+            return joined.count()
+
+        def pip_region_counts():
+            # per-REGION aggregate (4 keys → 512 partial rows): the
+            # PIP map compute dominates, driver merge is trivial
+            import ray
+
+            from activity_files_ray.functions import polygons
+            from activity_files_ray.pipelines import agg
+            from activity_files_ray.spatial import stages as sstages
+
+            idx_ref = ray.put(polygons.PolygonIndex(q.ORACLE_REGIONS))
+            pts = q._derived_points_ds(SF_DIR, R, pts_path)
+            joined = pts.map_batches(
+                sstages.pip_join_batch,
+                fn_kwargs={"index_ref": idx_ref},
+                batch_format="pyarrow",
+            )
+            return agg.tree_aggregate(
+                joined.select_columns(["region_id"]), ["region_id"], {"n": ("", "count")}
+            )
+
+        timed = {
+            "flagship_pip_tiles": pip_region_counts,
+            "knn_poi": knn_count,
+            "raster_tiling": bench_raster_tiling,
+        }
+        rows_in = {
+            "flagship_pip_tiles": n_pts * R,
+            "knn_poi": n_pts,
+            "raster_tiling": N_BENCH_IMAGES,
+        }
+    else:
+        timed = {
+            "flagship_pip_tiles": lambda: q.flagship_spatial(SF_DIR),
+            "cell_counts": lambda: q.q_cell_counts(SF_DIR),
+            "knn_poi": lambda: q.q_knn_poi(SF_DIR),
+            "raster_tiling": bench_raster_tiling,
+            "pricing_summary": lambda: q.q_pricing_summary(SF_DIR),
+            "events_hourly": lambda: q.q_events_hourly(SF_DIR),
+            "doc_token_stats": lambda: q.q_doc_token_stats(SF_DIR),
+            "embed_cosine_topk": lambda: q.q_embed_cosine_topk(SF_DIR),
+        }
+        # rows processed per pipeline (for rows/sec reporting)
+        rows_in = {
+            "flagship_pip_tiles": n_events,
+            "cell_counts": n_events,
+            "knn_poi": n_events // q.KNN_SUBSET_MOD,
+            "raster_tiling": N_BENCH_IMAGES,
+            "pricing_summary": n_lineitem,
+            "events_hourly": n_events,
+            "doc_token_stats": pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows,
+            "embed_cosine_topk": pq.ParquetFile(f"{SF_DIR}/embeddings.parquet").metadata.num_rows,
+        }
 
     secs: dict[str, float] = {}
     rps: dict[str, float] = {}
@@ -138,7 +225,12 @@ def run_scaling() -> dict:
     import subprocess
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_HEAVY="1",
+            GRAFT_BENCH_IMAGES=os.environ.get("GRAFT_BENCH_IMAGES", "6000"),
+        )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -162,6 +254,8 @@ def run_scaling() -> dict:
         "cpus_hi": hi_cpus,
         "queries_lo": lo["queries"],
         "queries_hi": hi["queries"],
+        "rows_per_sec_lo": lo["rows_per_sec"],
+        "rows_per_sec_hi": hi["rows_per_sec"],
         "sf": lo["sf"],
     }
 
