@@ -1,0 +1,424 @@
+"""FIT binary parser + encoder kernels.
+
+Re-implemented from the PUBLIC Garmin FIT protocol description (file
+header + CRC-16, definition/data record framing, base types, scale/
+offset conventions) — NOT a port of the reference's 1.9k-line Dart
+parser (``/root/reference/lib/src/parse/fit_parser.dart``), but
+covering the same wire semantics the reference exercises
+(SURVEY.md §2.1 S3/S9, §2.7):
+
+* 12/14-byte header (+header CRC when present), trailing CRC-16
+  (fit_parser.dart:59-233 analog; CRC table algorithm is the public
+  FIT CRC, fit_crc.dart:7-46 analog).
+* definition messages (local→global mapping, endianness, field list),
+  data messages, compressed-timestamp headers
+  (fit_parser.dart:243-253,1134-1142 analog).
+* invalid-value sentinels decode to null and re-encode as sentinels
+  (fit_parser.dart:1367-1381 / fit_encoder.dart:851-874 analog).
+* unit conversions: semicircles→degrees ×180/2^31; altitude raw/5−500;
+  speed raw/1000 m/s; distance raw/100 m; FIT epoch 1989-12-31
+  (fit_parser.dart:1232-1365 analog; shared with functions/geo.py).
+
+Message subset: file_id(0), session(18), lap(19), record(20),
+event(21), device_info(23). Unknown globals/fields are skipped
+field-accurately (never throws; diagnostics instead).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from ..functions import geo
+from .model import ParsedActivity
+
+FIT_EPOCH_US = geo.FIT_EPOCH_UNIX_S * 1_000_000
+
+# base type number → (struct char, size, invalid sentinel)
+_BASE_TYPES = {
+    0x00: ("B", 1, 0xFF),  # enum
+    0x01: ("b", 1, 0x7F),  # sint8
+    0x02: ("B", 1, 0xFF),  # uint8
+    0x83: ("h", 2, 0x7FFF),  # sint16
+    0x84: ("H", 2, 0xFFFF),  # uint16
+    0x85: ("i", 4, 0x7FFFFFFF),  # sint32
+    0x86: ("I", 4, 0xFFFFFFFF),  # uint32
+    0x07: ("s", 1, None),  # string
+    0x88: ("f", 4, None),  # float32
+    0x89: ("d", 8, None),  # float64
+    0x0A: ("B", 1, 0x00),  # uint8z
+    0x8B: ("H", 2, 0x0000),  # uint16z
+    0x8C: ("I", 4, 0x00000000),  # uint32z
+    0x0D: ("B", 1, 0xFF),  # byte array
+    0x8E: ("q", 8, 0x7FFFFFFFFFFFFFFF),  # sint64
+    0x8F: ("Q", 8, 0xFFFFFFFFFFFFFFFF),  # uint64
+    0x90: ("Q", 8, 0x0),  # uint64z
+}
+
+GLOBAL_FILE_ID = 0
+GLOBAL_SESSION = 18
+GLOBAL_LAP = 19
+GLOBAL_RECORD = 20
+GLOBAL_EVENT = 21
+GLOBAL_DEVICE_INFO = 23
+
+# record (global 20) field num → (name, kind)
+_RECORD_FIELDS = {
+    253: ("timestamp", "ts"),
+    0: ("position_lat", "semicircles"),
+    1: ("position_long", "semicircles"),
+    2: ("altitude", "altitude"),
+    78: ("enhanced_altitude", "altitude"),
+    3: ("heart_rate", "raw"),
+    4: ("cadence", "raw"),
+    5: ("distance", "d100"),
+    6: ("speed", "d1000"),
+    73: ("enhanced_speed", "d1000"),
+    7: ("power", "raw"),
+    13: ("temperature", "raw"),
+}
+
+_SPORT_ENUM = {
+    0: "unknown", 1: "running", 2: "cycling", 5: "swimming",
+    11: "walking", 17: "hiking",
+}
+_SPORT_TO_ENUM = {v: k for k, v in _SPORT_ENUM.items()}
+
+
+def crc16(data: bytes, crc: int = 0) -> int:
+    """The public FIT CRC-16 (nibble-table) algorithm."""
+    table = (
+        0x0000, 0xCC01, 0xD801, 0x1400, 0xF001, 0x3C00, 0x2800, 0xE401,
+        0xA001, 0x6C00, 0x7800, 0xB401, 0x5000, 0x9C01, 0x8801, 0x4400,
+    )
+    for b in data:
+        tmp = table[crc & 0xF]
+        crc = (crc >> 4) & 0x0FFF
+        crc = crc ^ tmp ^ table[b & 0xF]
+        tmp = table[crc & 0xF]
+        crc = (crc >> 4) & 0x0FFF
+        crc = crc ^ tmp ^ table[(b >> 4) & 0xF]
+    return crc
+
+
+class _FieldDef:
+    __slots__ = ("num", "size", "base")
+
+    def __init__(self, num: int, size: int, base: int):
+        self.num = num
+        self.size = size
+        self.base = base & 0x9F  # mask endian-ability bit
+
+
+class _MsgDef:
+    __slots__ = ("global_num", "big_endian", "fields", "total")
+
+    def __init__(self, global_num: int, big_endian: bool, fields: list[_FieldDef]):
+        self.global_num = global_num
+        self.big_endian = big_endian
+        self.fields = fields
+        self.total = sum(f.size for f in fields)
+
+
+def parse_fit(data: bytes, activity_id: str) -> ParsedActivity:
+    out = ParsedActivity(activity_id)
+    if len(data) < 12:
+        out.diag("error", "fit.header.too_short", f"{len(data)} bytes", "")
+        return out
+    hdr_size = data[0]
+    if hdr_size not in (12, 14) or data[8:12] != b".FIT":
+        out.diag("error", "fit.header.invalid", "not a FIT header", "")
+        return out
+    data_size = struct.unpack_from("<I", data, 4)[0]
+    if hdr_size == 14:
+        hcrc = struct.unpack_from("<H", data, 12)[0]
+        if hcrc != 0 and crc16(data[:12]) != hcrc:
+            out.diag("warning", "fit.header.crc_mismatch", "header CRC invalid", "")
+    end = hdr_size + data_size
+    if end + 2 <= len(data):
+        file_crc = struct.unpack_from("<H", data, end)[0]
+        if crc16(data[:end]) != file_crc:
+            out.diag("warning", "fit.trailer.crc_mismatch", "file CRC invalid", "")
+    else:
+        out.diag("warning", "fit.trailer.truncated", "missing trailing CRC", "")
+        end = len(data)
+    pos = hdr_size
+    defs: dict[int, _MsgDef] = {}
+    last_ts: int | None = None
+    while pos < end:
+        hdr = data[pos]
+        pos += 1
+        if hdr & 0x80:  # compressed timestamp header
+            local = (hdr >> 5) & 0x3
+            offset = hdr & 0x1F
+            mdef = defs.get(local)
+            if mdef is None:
+                out.diag("error", "fit.record.unknown_definition",
+                         f"local {local} (compressed)", f"offset {pos}")
+                break
+            if last_ts is not None:
+                # 5-bit rollover (public FIT compressed-timestamp rule)
+                last_ts = last_ts + ((offset - (last_ts & 0x1F)) & 0x1F)
+            pos, seen = _parse_data(data, pos, mdef, out, last_ts)
+            if pos < 0:
+                break
+            if seen is not None:
+                last_ts = seen
+            continue
+        is_def = bool(hdr & 0x40)
+        local = hdr & 0x0F
+        if is_def:
+            has_dev = bool(hdr & 0x20)
+            if pos + 5 > end:
+                out.diag("error", "fit.definition.truncated", "", f"offset {pos}")
+                break
+            big_endian = data[pos + 1] == 1
+            endc = ">" if big_endian else "<"
+            global_num = struct.unpack_from(endc + "H", data, pos + 2)[0]
+            n_fields = data[pos + 4]
+            pos += 5
+            fields = []
+            for _ in range(n_fields):
+                if pos + 3 > end:
+                    out.diag("error", "fit.definition.truncated", "", f"offset {pos}")
+                    return out
+                fields.append(_FieldDef(data[pos], data[pos + 1], data[pos + 2]))
+                pos += 3
+            if has_dev:
+                if pos >= end:
+                    break
+                n_dev = data[pos]
+                pos += 1
+                # developer fields: skip their descriptors, account sizes
+                dev_fields = []
+                for _ in range(n_dev):
+                    dev_fields.append(_FieldDef(255, data[pos + 1], 0x0D))
+                    pos += 3
+                fields.extend(dev_fields)
+            defs[local] = _MsgDef(global_num, big_endian, fields)
+        else:
+            mdef = defs.get(local)
+            if mdef is None:
+                out.diag("error", "fit.record.unknown_definition",
+                         f"local {local}", f"offset {pos}")
+                break
+            pos, seen = _parse_data(data, pos, mdef, out, None)
+            if pos < 0:
+                break
+            if seen is not None:
+                last_ts = seen
+    return out
+
+
+def _read_field(data: bytes, pos: int, f: _FieldDef, big_endian: bool):
+    info = _BASE_TYPES.get(f.base)
+    if info is None:
+        return None
+    ch, unit, invalid = info
+    endc = ">" if big_endian else "<"
+    if ch == "s":
+        raw = data[pos : pos + f.size].split(b"\x00", 1)[0]
+        try:
+            return raw.decode("utf-8") or None
+        except UnicodeDecodeError:
+            return None
+    n = f.size // unit
+    if n * unit != f.size:
+        return None
+    try:
+        vals = struct.unpack_from(endc + ch * n, data, pos)
+    except struct.error:
+        return None
+    dec = [None if (invalid is not None and v == invalid) else v for v in vals]
+    if n == 1:
+        return dec[0]
+    return dec
+
+
+def _parse_data(
+    data: bytes, pos: int, mdef: _MsgDef, out: ParsedActivity, comp_ts: int | None
+) -> tuple[int, int | None]:
+    """Returns (next_pos_or_-1, timestamp_seconds_seen_or_None)."""
+    if pos + mdef.total > len(data):
+        out.diag("error", "fit.record.truncated", "", f"offset {pos}")
+        return -1, None
+    vals: dict[int, object] = {}
+    p = pos
+    for f in mdef.fields:
+        if f.num != 255:
+            vals[f.num] = _read_field(data, p, f, mdef.big_endian)
+        p += f.size
+    g = mdef.global_num
+    if g == GLOBAL_RECORD:
+        _emit_record(vals, out, comp_ts)
+    elif g == GLOBAL_SESSION:
+        _emit_span(vals, "session", out)
+        sp = vals.get(5)
+        if isinstance(sp, int):
+            out.sport = _SPORT_ENUM.get(sp, out.sport)
+    elif g == GLOBAL_LAP:
+        _emit_span(vals, "lap", out)
+    elif g == GLOBAL_EVENT:
+        ts = vals.get(253)
+        if isinstance(ts, int):
+            out.span_kind.append("event")
+            t_us = FIT_EPOCH_US + ts * 1_000_000
+            out.span_start_us.append(t_us)
+            out.span_end_us.append(t_us)
+            out.span_sport.append(None)
+            out.span_dist_m.append(None)
+    elif g == GLOBAL_FILE_ID:
+        man = vals.get(1)
+        if isinstance(man, int):
+            out.metadata["fit_manufacturer_id"] = str(man)
+    elif g == GLOBAL_DEVICE_INFO:
+        pass  # minimal: descriptor only
+    ts_seen = vals.get(253)
+    if g == GLOBAL_RECORD and ts_seen is None and comp_ts is not None:
+        ts_seen = comp_ts
+    return pos + mdef.total, (ts_seen if isinstance(ts_seen, int) else None)
+
+
+def _emit_record(vals: dict, out: ParsedActivity, comp_ts: int | None) -> None:
+    ts = vals.get(253)
+    if ts is None:
+        ts = comp_ts
+    if not isinstance(ts, int):
+        out.diag("warning", "fit.record.missing_timestamp", "record skipped", "")
+        return
+    ts_us = FIT_EPOCH_US + ts * 1_000_000
+    lat_sc, lon_sc = vals.get(0), vals.get(1)
+    if isinstance(lat_sc, int) and isinstance(lon_sc, int):
+        lat = lat_sc * geo.SEMICIRCLE_TO_DEG
+        lon = lon_sc * geo.SEMICIRCLE_TO_DEG
+        alt = vals.get(78, vals.get(2))
+        ele = (alt / 5.0 - 500.0) if isinstance(alt, (int, float)) else None
+        out.add_point(ts_us, lat, lon, ele)
+    for num, (name, kind) in _RECORD_FIELDS.items():
+        if num in (253, 0, 1, 2, 78):
+            continue
+        v = vals.get(num)
+        if v is None or not isinstance(v, (int, float)):
+            continue
+        if kind == "d100":
+            out.add_sample("distance", ts_us, v / 100.0)
+        elif kind == "d1000":
+            out.add_sample("speed", ts_us, v / 1000.0)
+        else:
+            out.add_sample(name, ts_us, float(v))
+
+
+def _emit_span(vals: dict, kind: str, out: ParsedActivity) -> None:
+    start = vals.get(2)  # start_time
+    total_elapsed = vals.get(7)  # ms /1000
+    if not isinstance(start, int):
+        return
+    s_us = FIT_EPOCH_US + start * 1_000_000
+    e_us = s_us + (
+        int(total_elapsed / 1000.0 * 1e6) if isinstance(total_elapsed, (int, float)) else 0
+    )
+    dist = vals.get(9)
+    sp = vals.get(5) if kind == "session" else vals.get(25)
+    out.span_kind.append(kind)
+    out.span_start_us.append(s_us)
+    out.span_end_us.append(e_us)
+    out.span_sport.append(_SPORT_ENUM.get(sp) if isinstance(sp, int) else None)
+    out.span_dist_m.append(dist / 100.0 if isinstance(dist, (int, float)) else None)
+
+
+# --- encoder -----------------------------------------------------------------
+
+
+def encode_fit(
+    points: pd.DataFrame,
+    channels: pd.DataFrame | None = None,
+    sport: str | None = None,
+    manufacturer_id: int = 255,  # 'development'
+) -> bytes:
+    """points + channels → FIT bytes (file_id + record stream +
+    session + CRC). Channels are joined per exact record timestamp;
+    nulls encode as sentinels."""
+    ts = points["ts_us"].to_numpy(np.int64)
+    lat = points["lat"].to_numpy(np.float64)
+    lon = points["lon"].to_numpy(np.float64)
+    ele = (
+        points["ele"].to_numpy(np.float64)
+        if "ele" in points
+        else np.full(ts.size, np.nan)
+    )
+    ch: dict[str, dict[int, float]] = {}
+    if channels is not None and len(channels):
+        for name, g in channels.groupby("channel", observed=True):
+            ch[str(name)] = dict(
+                zip(g["ts_us"].astype("int64"), g["value"].astype(float))
+            )
+    body = bytearray()
+    # file_id definition (local 0): type(0) enum, manufacturer(1) u16
+    body += bytes([0x40, 0, 0, 0, 0, 2, 0, 1, 0x00, 1, 2, 0x84])
+    body += bytes([0x00, 4])  # type=4 activity
+    body += struct.pack("<H", manufacturer_id)
+    # record definition (local 1): ts u32, lat i32, lon i32, alt u16,
+    # dist u32, speed u16, hr u8, cad u8, power u16, temp i8
+    rec_fields = [
+        (253, 4, 0x86), (0, 4, 0x85), (1, 4, 0x85), (2, 2, 0x84),
+        (5, 4, 0x86), (6, 2, 0x84), (3, 1, 0x02), (4, 1, 0x02),
+        (7, 2, 0x84), (13, 1, 0x01),
+    ]
+    body += bytes([0x41, 0, 0, 20, 0, len(rec_fields)])
+    for num, size, base in rec_fields:
+        body += bytes([num, size, base])
+    for i in range(ts.size):
+        t = int(ts[i])
+        fit_ts = (t - FIT_EPOCH_US) // 1_000_000
+        body += bytes([0x01])
+        body += struct.pack("<I", fit_ts & 0xFFFFFFFF)
+        body += struct.pack("<i", int(round(lat[i] / geo.SEMICIRCLE_TO_DEG)))
+        body += struct.pack("<i", int(round(lon[i] / geo.SEMICIRCLE_TO_DEG)))
+        body += struct.pack(
+            "<H",
+            0xFFFF
+            if not np.isfinite(ele[i])
+            else max(0, min(0xFFFE, int(round((ele[i] + 500.0) * 5.0)))),
+        )
+        d = ch.get("distance", {}).get(t)
+        body += struct.pack(
+            "<I", 0xFFFFFFFF if d is None else int(round(d * 100.0)) & 0xFFFFFFFF
+        )
+        s = ch.get("speed", {}).get(t)
+        body += struct.pack(
+            "<H", 0xFFFF if s is None else max(0, min(0xFFFE, int(round(s * 1000.0))))
+        )
+        hr = ch.get("heart_rate", {}).get(t)
+        body += bytes([0xFF if hr is None else max(0, min(0xFE, int(round(hr))))])
+        cad = ch.get("cadence", {}).get(t)
+        body += bytes([0xFF if cad is None else max(0, min(0xFE, int(round(cad))))])
+        pw = ch.get("power", {}).get(t)
+        body += struct.pack(
+            "<H", 0xFFFF if pw is None else max(0, min(0xFFFE, int(round(pw))))
+        )
+        tmp = ch.get("temperature", {}).get(t)
+        body += struct.pack(
+            "<b", 0x7F if tmp is None else max(-127, min(126, int(round(tmp))))
+        )
+    # session definition (local 2): start_time(2) u32, total_elapsed(7)
+    # u32 ms, total_distance(9) u32 cm, sport(5) enum
+    body += bytes([0x42, 0, 0, 18, 0, 4, 2, 4, 0x86, 7, 4, 0x86, 9, 4, 0x86, 5, 1, 0x00])
+    if ts.size:
+        start_fit = (int(ts[0]) - FIT_EPOCH_US) // 1_000_000
+        elapsed_ms = int((ts[-1] - ts[0]) // 1000)
+        dist_vals = ch.get("distance", {})
+        total_d = max(dist_vals.values()) if dist_vals else None
+        body += bytes([0x02])
+        body += struct.pack("<I", start_fit & 0xFFFFFFFF)
+        body += struct.pack("<I", elapsed_ms & 0xFFFFFFFF)
+        body += struct.pack(
+            "<I",
+            0xFFFFFFFF if total_d is None else int(round(total_d * 100)) & 0xFFFFFFFF,
+        )
+        body += bytes([_SPORT_TO_ENUM.get(sport or "", 0)])
+    header = struct.pack("<BBHI4s", 14, 0x10, 2140, len(body), b".FIT")
+    header += struct.pack("<H", crc16(header))
+    blob = header + bytes(body)
+    return blob + struct.pack("<H", crc16(blob))

@@ -1,0 +1,114 @@
+"""The Ray Data parse stage: payload batches → normalized tables.
+
+``parse_batch(batch, output=...)`` is a stateless ``map_batches``
+kernel over a table with ``(activity_id, bytes[, fmt])`` columns —
+the Ray-side shape of the reference's load pipeline (SURVEY.md §3.1:
+resolve → detect → parse → fan out). One stage invocation emits ONE
+of the logical tables (points / channels / spans / diagnostics /
+activities); a pipeline needing several fans the same payload
+Dataset into several streams (each re-parses — at 100 TB the usual
+trade is re-decode CPU for zero cross-stage pixel/row materialization;
+a fused union-table variant is a straightforward extension).
+
+Parsers never throw: malformed payloads yield zero rows plus
+diagnostics rows (§7.1 invariant 1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from . import csv_fmt, detect, geojson, gpx, tcx
+from . import fit as fit_mod
+from .model import ParsedActivity
+
+_PARSERS = {
+    "gpx": gpx.parse_gpx,
+    "tcx": tcx.parse_tcx,
+    "csv": csv_fmt.parse_csv,
+    "geojson": geojson.parse_geojson,
+    "fit": fit_mod.parse_fit,
+}
+
+_ENCODERS = {
+    "gpx": lambda p, c, **kw: gpx.encode_gpx(p, c, **kw),
+    "tcx": lambda p, c, **kw: tcx.encode_tcx(p, c, **kw),
+    "csv": lambda p, c, **kw: csv_fmt.encode_csv(p, c),
+    "geojson": lambda p, c, **kw: geojson.encode_geojson(p, c, **kw),
+    "fit": lambda p, c, **kw: fit_mod.encode_fit(p, c, **kw),
+}
+
+OUTPUTS = ("points", "channels", "spans", "diagnostics", "activities")
+
+
+def parse_payload(data: bytes, activity_id: str, fmt: str | None = None) -> ParsedActivity:
+    """One payload → ParsedActivity; auto-detects when fmt is absent."""
+    f = (fmt or "").strip().lower() or detect.detect_format(data)
+    parser = _PARSERS.get(f)
+    if parser is None:
+        out = ParsedActivity(activity_id)
+        out.diag("error", "parse.unknown_format", f"format {f!r}", "")
+        return out
+    return parser(data, activity_id)
+
+
+def parse_batch(batch: pa.Table, output: str = "points") -> pa.Table:
+    """map_batches kernel: (activity_id, bytes[, fmt]) → one logical
+    table per the ``output`` selector."""
+    assert output in OUTPUTS, output
+    ids = batch["activity_id"].to_pylist()
+    payloads = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist() if "fmt" in batch.column_names else [None] * len(ids)
+    frames: list[pd.DataFrame] = []
+    for aid, data, f in zip(ids, payloads, fmts):
+        parsed = parse_payload(data, aid, f)
+        if output == "points":
+            frames.append(parsed.points_df())
+        elif output == "channels":
+            frames.append(parsed.channels_df())
+        elif output == "spans":
+            frames.append(parsed.spans_df())
+        elif output == "diagnostics":
+            frames.append(parsed.diags_df())
+        else:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "activity_id": [aid],
+                        "fmt": [f or detect.detect_format(data)],
+                        "sport": [parsed.sport],
+                        "creator": [parsed.creator],
+                        "name": [parsed.name],
+                        "n_points": [len(parsed.ts_us)],
+                        "n_samples": [len(parsed.ch_ts_us)],
+                        "n_diags": [len(parsed.diags)],
+                    }
+                )
+            )
+    df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def encode_activity(
+    fmt: str,
+    points: pd.DataFrame,
+    channels: pd.DataFrame | None = None,
+    **kwargs,
+) -> bytes:
+    """points/channels (one activity, sorted) → payload bytes."""
+    enc = _ENCODERS.get(fmt)
+    if enc is None:
+        raise ValueError(f"no encoder for format {fmt!r}")
+    return enc(points, channels, **kwargs)
+
+
+def encode_group(df: pd.DataFrame, fmt: str, channels_by_id: dict | None = None) -> pd.DataFrame:
+    """groupby(activity_id).map_groups kernel: one activity's points
+    → one (activity_id, fmt, bytes) row (SURVEY.md S7-S11: encoders
+    are MG per activity because they need the whole ordered track)."""
+    aid = df["activity_id"].iloc[0] if len(df) else ""
+    df = df.sort_values("ts_us", kind="mergesort")
+    ch = (channels_by_id or {}).get(aid)
+    payload = encode_activity(fmt, df, ch)
+    return pd.DataFrame({"activity_id": [aid], "fmt": [fmt], "bytes": [payload]})

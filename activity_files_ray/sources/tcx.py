@@ -1,0 +1,278 @@
+"""TCX parser + encoder kernels.
+
+Semantics from the reference (``/root/reference/lib/src/parse/
+tcx_parser.dart:27-426``, encoder ``lib/src/encode/tcx_encoder.dart:
+14-553``), re-implemented from the public Garmin
+TrainingCenterDatabase v2 schema:
+
+* multiple ``<Activity>`` elements merge into one activity with
+  per-lap sport preserved (tcx_parser.dart:71-124).
+* Lap stats: TotalTimeSeconds, DistanceMeters, Calories, AvgHeartRate,
+  MaxHeartRate, incl. LX extensions (``:146-177``).
+* Trackpoint: Time, Position, AltitudeMeters, DistanceMeters,
+  HeartRateBpm/Value, Cadence; TPX Speed/Watts/RunCadence
+  (``:342-364``); Creator name (``:448-520``).
+* Encoder: laps re-grouped into one ``<Activity>`` per consecutive
+  same-sport run (tcx_encoder.dart:457-468,93-101); a synthetic lap
+  covering all points when none exist (``:37-46``); per-point channel
+  values joined with the per-channel-tolerance as-of join
+  (``:47-62,192-230``).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pandas as pd
+
+from .gpx import DEFAULT_TOLERANCE_US, nearest_join
+from .model import ParsedActivity, iso_to_us, us_to_iso
+
+_TCX_SPORTS = {"running": "running", "biking": "cycling", "other": "other"}
+_SPORT_TO_TCX = {"running": "Running", "cycling": "Biking"}
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_tcx(data: bytes, activity_id: str) -> ParsedActivity:
+    out = ParsedActivity(activity_id)
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError as e:
+        out.diag("error", "tcx.parse.invalid_xml", str(e), "")
+        return out
+    if _local(root.tag) != "TrainingCenterDatabase":
+        out.diag("error", "tcx.parse.not_tcx", f"root {root.tag}", "")
+        return out
+    for acts in root.iter():
+        if _local(acts.tag) == "Activity":
+            _parse_activity(acts, out)
+        elif _local(acts.tag) == "Creator" and out.creator is None:
+            for c in acts:
+                if _local(c.tag) == "Name" and c.text:
+                    out.creator = c.text
+    return out
+
+
+def _parse_activity(act, out: ParsedActivity) -> None:
+    sport_raw = (act.get("Sport") or "").strip().lower()
+    sport = _TCX_SPORTS.get(sport_raw, sport_raw or None)
+    if out.sport is None:
+        out.sport = sport
+    for child in act:
+        loc = _local(child.tag)
+        if loc == "Lap":
+            _parse_lap(child, sport, out)
+        elif loc == "Creator":
+            for c in child:
+                if _local(c.tag) == "Name" and c.text:
+                    out.creator = c.text
+
+
+def _parse_lap(lap, sport: str | None, out: ParsedActivity) -> None:
+    start = iso_to_us(lap.get("StartTime") or "")
+    total_s = None
+    dist = None
+    for child in lap:
+        loc = _local(child.tag)
+        if loc == "TotalTimeSeconds" and child.text:
+            try:
+                total_s = float(child.text)
+            except ValueError:
+                pass
+        elif loc == "DistanceMeters" and child.text:
+            try:
+                dist = float(child.text)
+            except ValueError:
+                pass
+        elif loc == "Track":
+            seg_start = len(out.ts_us)
+            n0 = len(out.ts_us)
+            for tp in child:
+                if _local(tp.tag) == "Trackpoint":
+                    _parse_trackpoint(tp, out)
+            if len(out.ts_us) > n0:
+                out.segment_starts.append(seg_start)
+    if start is not None:
+        end = start + int((total_s or 0.0) * 1e6)
+        out.span_kind.append("lap")
+        out.span_start_us.append(start)
+        out.span_end_us.append(end)
+        out.span_sport.append(sport)
+        out.span_dist_m.append(dist)
+    else:
+        out.diag("warning", "tcx.lap.missing_start", "lap without StartTime", "laps")
+
+
+def _parse_trackpoint(tp, out: ParsedActivity) -> None:
+    ts = None
+    lat = lon = ele = None
+    samples: list[tuple[str, float]] = []
+    for c in tp:
+        loc = _local(c.tag)
+        if loc == "Time" and c.text:
+            ts = iso_to_us(c.text)
+        elif loc == "Position":
+            for p in c:
+                pl = _local(p.tag)
+                try:
+                    if pl == "LatitudeDegrees" and p.text:
+                        lat = float(p.text)
+                    elif pl == "LongitudeDegrees" and p.text:
+                        lon = float(p.text)
+                except ValueError:
+                    pass
+        elif loc == "AltitudeMeters" and c.text:
+            try:
+                ele = float(c.text)
+            except ValueError:
+                pass
+        elif loc == "DistanceMeters" and c.text:
+            try:
+                samples.append(("distance", float(c.text)))
+            except ValueError:
+                pass
+        elif loc == "HeartRateBpm":
+            for v in c:
+                if _local(v.tag) == "Value" and v.text:
+                    try:
+                        samples.append(("heart_rate", float(v.text)))
+                    except ValueError:
+                        pass
+        elif loc == "Cadence" and c.text:
+            try:
+                samples.append(("cadence", float(c.text)))
+            except ValueError:
+                pass
+        elif loc == "Extensions":
+            for tpx in c.iter():
+                tl = _local(tpx.tag)
+                if tl == "Speed" and tpx.text:
+                    samples.append(("speed", float(tpx.text)))
+                elif tl == "Watts" and tpx.text:
+                    samples.append(("power", float(tpx.text)))
+                elif tl == "RunCadence" and tpx.text:
+                    samples.append(("cadence", float(tpx.text)))
+    if ts is None:
+        out.diag(
+            "warning", "tcx.point.missing_time",
+            "Trackpoint without Time skipped", f"points[{len(out.ts_us)}]",
+        )
+        return
+    if lat is not None and lon is not None:
+        out.add_point(ts, lat, lon, ele)
+    for name, val in samples:
+        out.add_sample(name, ts, val)
+
+
+# --- encoder -----------------------------------------------------------------
+
+
+def encode_tcx(
+    points: pd.DataFrame,
+    channels: pd.DataFrame | None = None,
+    spans: pd.DataFrame | None = None,
+    sport: str | None = None,
+    creator: str = "activity_files_ray",
+    tolerance_us: int = DEFAULT_TOLERANCE_US,
+) -> bytes:
+    """points/channels/laps → TCX bytes. Laps grouped into consecutive
+    same-sport Activities; synthetic whole-track lap when none."""
+    ts = points["ts_us"].to_numpy(np.int64)
+    lat = points["lat"].to_numpy(np.float64)
+    lon = points["lon"].to_numpy(np.float64)
+    ele = (
+        points["ele"].to_numpy(np.float64)
+        if "ele" in points
+        else np.full(ts.size, np.nan)
+    )
+    joined: dict[str, np.ndarray] = {}
+    if channels is not None and len(channels):
+        for ch, g in channels.groupby("channel", observed=True):
+            joined[str(ch)] = nearest_join(
+                ts, g["ts_us"].to_numpy(np.int64), g["value"].to_numpy(np.float64),
+                tolerance_us,
+            )
+    laps: list[tuple[int, int, str | None, float | None]] = []
+    if spans is not None and len(spans):
+        lp = spans[spans["kind"] == "lap"] if "kind" in spans.columns else spans
+        for _, r in lp.iterrows():
+            laps.append(
+                (
+                    int(r["start_us"]), int(r["end_us"]),
+                    r.get("sport") if isinstance(r.get("sport"), str) else None,
+                    float(r["dist_m"]) if "dist_m" in r and np.isfinite(r["dist_m"]) else None,
+                )
+            )
+    if not laps and ts.size:
+        laps = [(int(ts[0]), int(ts[-1]), sport, None)]  # tcx_encoder.dart:37-46
+    # group consecutive same-sport laps into one Activity each
+    groups: list[list[tuple]] = []
+    for lap in laps:
+        if groups and (groups[-1][-1][2] or sport) == (lap[2] or sport):
+            groups[-1].append(lap)
+        else:
+            groups.append([lap])
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">\n'
+        "<Activities>\n"
+    ]
+    for grp in groups:
+        gsport = _SPORT_TO_TCX.get((grp[0][2] or sport or "other"), "Other")
+        start_iso = us_to_iso(grp[0][0])
+        parts.append(f'<Activity Sport="{gsport}"><Id>{start_iso}</Id>\n')
+        for s_us, e_us, _sp, dist in grp:
+            parts.append(
+                f'<Lap StartTime="{us_to_iso(s_us)}">'
+                f"<TotalTimeSeconds>{(e_us - s_us) / 1e6:.1f}</TotalTimeSeconds>"
+            )
+            if dist is not None:
+                parts.append(f"<DistanceMeters>{dist:.1f}</DistanceMeters>")
+            parts.append("<Track>\n")
+            in_lap = (ts >= s_us) & (ts <= e_us)  # J3 containment join
+            for i in np.nonzero(in_lap)[0]:
+                parts.append(f"<Trackpoint><Time>{us_to_iso(int(ts[i]))}</Time>")
+                parts.append(
+                    "<Position>"
+                    f"<LatitudeDegrees>{lat[i]:.7f}</LatitudeDegrees>"
+                    f"<LongitudeDegrees>{lon[i]:.7f}</LongitudeDegrees>"
+                    "</Position>"
+                )
+                if np.isfinite(ele[i]):
+                    parts.append(f"<AltitudeMeters>{ele[i]:.2f}</AltitudeMeters>")
+                d = joined.get("distance")
+                if d is not None and np.isfinite(d[i]):
+                    parts.append(f"<DistanceMeters>{d[i]:.2f}</DistanceMeters>")
+                hr = joined.get("heart_rate")
+                if hr is not None and np.isfinite(hr[i]):
+                    parts.append(
+                        f"<HeartRateBpm><Value>{int(round(hr[i]))}</Value></HeartRateBpm>"
+                    )
+                cad = joined.get("cadence")
+                if cad is not None and np.isfinite(cad[i]):
+                    parts.append(f"<Cadence>{int(round(cad[i]))}</Cadence>")
+                pw = joined.get("power")
+                sp_ = joined.get("speed")
+                if (pw is not None and np.isfinite(pw[i])) or (
+                    sp_ is not None and np.isfinite(sp_[i])
+                ):
+                    parts.append(
+                        '<Extensions><TPX xmlns="http://www.garmin.com/xmlschemas/ActivityExtension/v2">'
+                    )
+                    if sp_ is not None and np.isfinite(sp_[i]):
+                        parts.append(f"<Speed>{sp_[i]:.3f}</Speed>")
+                    if pw is not None and np.isfinite(pw[i]):
+                        parts.append(f"<Watts>{int(round(pw[i]))}</Watts>")
+                    parts.append("</TPX></Extensions>")
+                parts.append("</Trackpoint>\n")
+            parts.append("</Track></Lap>\n")
+        parts.append(
+            f"<Creator xsi:type=\"Device_t\" xmlns:xsi=\"http://www.w3.org/2001/XMLSchema-instance\"><Name>{creator}</Name></Creator>"
+            "</Activity>\n"
+        )
+    parts.append("</Activities>\n</TrainingCenterDatabase>\n")
+    return "".join(parts).encode()

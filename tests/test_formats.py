@@ -1,0 +1,286 @@
+"""Format parser/encoder tests: round-trip idiom (parse→encode→parse
+equality — the reference's core correctness idiom, SURVEY.md §5),
+malformed-input diagnostics, and format detection."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from activity_files_ray import fixtures
+from activity_files_ray.sources import csv_fmt, detect, geojson, gpx, stage, tcx
+from activity_files_ray.sources import fit as fit_mod
+
+
+def canonical_points() -> pd.DataFrame:
+    t = fixtures.canonical_trackpoints()
+    df = t.to_pandas()
+    df["ts_us"] = df["ts_us"].astype("int64")
+    return df
+
+
+def canonical_channels() -> pd.DataFrame:
+    df = fixtures.canonical_channels().to_pandas().astype({"channel": str})
+    df["ts_us"] = df["ts_us"].astype("int64")
+    return df
+
+
+def _assert_points_equal(a: pd.DataFrame, b: pd.DataFrame, ele_tol=0.01, ll_tol=1e-7):
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(
+        a["ts_us"].to_numpy(np.int64), b["ts_us"].to_numpy(np.int64)
+    )
+    np.testing.assert_allclose(a["lat"], b["lat"], atol=ll_tol)
+    np.testing.assert_allclose(a["lon"], b["lon"], atol=ll_tol)
+    np.testing.assert_allclose(a["ele"], b["ele"], atol=ele_tol)
+
+
+class TestGpx:
+    def test_roundtrip(self):
+        pts, ch = canonical_points(), canonical_channels()
+        payload = gpx.encode_gpx(pts, ch, name="morning ride")
+        parsed = gpx.parse_gpx(payload, "a1")
+        _assert_points_equal(pts, parsed.points_df())
+        cdf = parsed.channels_df()
+        # TPX carries hr/cad/temp (power has no TPX v1 tag)
+        assert set(cdf["channel"]) == {"heart_rate", "cadence", "temperature"}
+        hr = cdf[cdf.channel == "heart_rate"].sort_values("ts_us")
+        assert hr["value"].tolist() == [140.0, 142.0, 145.0]
+        assert parsed.name == "morning ride"
+
+    def test_double_roundtrip_byte_stable(self):
+        # encode(parse(encode(x))) == encode(x): the byte-stability form
+        pts, ch = canonical_points(), canonical_channels()
+        p1 = gpx.encode_gpx(pts, ch)
+        parsed = gpx.parse_gpx(p1, "a1")
+        p2 = gpx.encode_gpx(parsed.points_df(), parsed.channels_df())
+        assert p1 == p2
+
+    def test_segments_preserved(self):
+        pts = canonical_points()
+        payload = gpx.encode_gpx(pts, None, segment_starts=[0, 2])
+        parsed = gpx.parse_gpx(payload, "a1")
+        assert parsed.segment_starts == [0, 2]
+
+    def test_malformed_xml_diagnostic(self):
+        parsed = gpx.parse_gpx(b"<gpx><trk><trkseg>", "a1")
+        assert any(d[1] == "gpx.parse.invalid_xml" for d in parsed.diags)
+        assert len(parsed.ts_us) == 0
+
+    def test_missing_coordinate_skipped(self):
+        payload = (
+            b'<gpx xmlns="http://www.topografix.com/GPX/1/1"><trk><trkseg>'
+            b'<trkpt lat="40.0"><time>2024-04-01T06:00:00Z</time></trkpt>'
+            b'<trkpt lat="40.0" lon="-105.0"><time>2024-04-01T06:00:05Z</time></trkpt>'
+            b"</trkseg></trk></gpx>"
+        )
+        parsed = gpx.parse_gpx(payload, "a1")
+        assert len(parsed.ts_us) == 1
+        assert any(d[1] == "gpx.point.missing_coordinate" for d in parsed.diags)
+
+    def test_nearest_join_tolerance(self):
+        pt = np.array([0, 10_000_000], dtype=np.int64)
+        st = np.array([1_000_000, 40_000_000], dtype=np.int64)
+        sv = np.array([1.0, 2.0])
+        out = gpx.nearest_join(pt, st, sv, tolerance_us=5_000_000)
+        assert out[0] == 1.0 and np.isnan(out[1])
+
+
+class TestGeojson:
+    def test_roundtrip_linestring(self):
+        pts = canonical_points()
+        payload = geojson.encode_geojson(pts, metadata={"sport": "cycling"})
+        parsed = geojson.parse_geojson(payload, "a1")
+        _assert_points_equal(pts, parsed.points_df(), ele_tol=1e-9)
+        assert parsed.sport == "cycling"
+
+    def test_roundtrip_points_mode(self):
+        pts, ch = canonical_points(), canonical_channels()
+        payload = geojson.encode_geojson(pts, ch, mode="points")
+        parsed = geojson.parse_geojson(payload, "a1")
+        _assert_points_equal(pts, parsed.points_df(), ele_tol=1e-9)
+        cdf = parsed.channels_df()
+        assert "heart_rate" in set(cdf["channel"])
+
+    def test_gpx_geojson_gpx_lossless(self):
+        # the reference's round-trip pair (CHANGELOG.md:28-35 claim)
+        pts = canonical_points()
+        g1 = gpx.encode_gpx(pts, None)
+        via = geojson.parse_geojson(
+            geojson.encode_geojson(gpx.parse_gpx(g1, "a").points_df()), "a"
+        )
+        g2 = gpx.encode_gpx(via.points_df(), None)
+        assert g1 == g2
+
+    def test_invalid_json(self):
+        parsed = geojson.parse_geojson(b"{not json", "a1")
+        assert any(d[1] == "geojson.parse.invalid_json" for d in parsed.diags)
+
+
+class TestCsv:
+    def test_roundtrip(self):
+        pts, ch = canonical_points(), canonical_channels()
+        payload = csv_fmt.encode_csv(pts, ch)
+        parsed = csv_fmt.parse_csv(payload, "a1")
+        _assert_points_equal(pts, parsed.points_df())
+        cdf = parsed.channels_df()
+        assert set(cdf["channel"]) == {"heart_rate", "cadence", "power", "temperature"}
+
+    def test_custom_channel_from_unknown_numeric_column(self):
+        payload = (
+            b"time,lat,lon,my_sensor\n"
+            b"2024-04-01T06:00:00Z,40.0,-105.0,3.5\n"
+        )
+        parsed = csv_fmt.parse_csv(payload, "a1")
+        assert parsed.channels_df()["channel"].tolist() == ["my_sensor"]
+
+    def test_bad_row_diagnostic(self):
+        payload = b"time,lat,lon\nnot-a-time,40.0,-105.0\n2024-04-01T06:00:00Z,40.0,-105.0\n"
+        parsed = csv_fmt.parse_csv(payload, "a1")
+        assert len(parsed.ts_us) == 1
+        assert any(d[1] == "csv.row.invalid_time" for d in parsed.diags)
+
+    def test_missing_time_column(self):
+        parsed = csv_fmt.parse_csv(b"lat,lon\n1,2\n", "a1")
+        assert any(d[1] == "csv.parse.missing_time_column" for d in parsed.diags)
+
+
+class TestTcx:
+    def test_roundtrip_with_laps(self):
+        pts, ch = canonical_points(), canonical_channels()
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"],
+                "kind": ["lap"],
+                "start_us": [int(pts["ts_us"].iloc[0])],
+                "end_us": [int(pts["ts_us"].iloc[2])],
+                "sport": ["cycling"],
+                "dist_m": [150.0],
+            }
+        )
+        payload = tcx.encode_tcx(pts, ch, spans, sport="cycling")
+        parsed = tcx.parse_tcx(payload, "a1")
+        _assert_points_equal(pts, parsed.points_df())
+        assert parsed.sport == "cycling"
+        sdf = parsed.spans_df()
+        assert len(sdf) == 1
+        assert sdf["dist_m"].iloc[0] == pytest.approx(150.0, abs=0.1)
+        cdf = parsed.channels_df()
+        assert {"heart_rate", "cadence", "power"} <= set(cdf["channel"])
+
+    def test_synthetic_lap_when_none(self):
+        pts = canonical_points()
+        parsed = tcx.parse_tcx(tcx.encode_tcx(pts, None, None, sport="running"), "a1")
+        sdf = parsed.spans_df()
+        assert len(sdf) == 1  # tcx_encoder.dart:37-46 synthetic lap
+        assert parsed.sport == "running"
+
+    def test_malformed(self):
+        parsed = tcx.parse_tcx(b"<foo/>", "a1")
+        assert any(d[1] == "tcx.parse.not_tcx" for d in parsed.diags)
+
+
+class TestFit:
+    def test_roundtrip(self):
+        pts, ch = canonical_points(), canonical_channels()
+        payload = fit_mod.encode_fit(pts, ch, sport="cycling")
+        parsed = fit_mod.parse_fit(payload, "a1")
+        assert not parsed.diags, parsed.diags
+        got = parsed.points_df()
+        assert len(got) == 3
+        np.testing.assert_array_equal(
+            got["ts_us"].to_numpy(), pts["ts_us"].to_numpy()
+        )
+        # semicircle quantization ≈ 8.4e-8 deg
+        np.testing.assert_allclose(got["lat"], pts["lat"], atol=1e-6)
+        np.testing.assert_allclose(got["lon"], pts["lon"], atol=1e-6)
+        np.testing.assert_allclose(got["ele"], pts["ele"], atol=0.2)
+        assert parsed.sport == "cycling"
+        cdf = parsed.channels_df()
+        hr = cdf[cdf.channel == "heart_rate"].sort_values("ts_us")
+        assert hr["value"].tolist() == [140.0, 142.0, 145.0]
+        sdf = parsed.spans_df()
+        assert (sdf["kind"] == "session").any()
+
+    def test_double_roundtrip_byte_stable(self):
+        pts, ch = canonical_points(), canonical_channels()
+        p1 = fit_mod.encode_fit(pts, ch, sport="cycling")
+        parsed = fit_mod.parse_fit(p1, "a1")
+        p2 = fit_mod.encode_fit(
+            parsed.points_df(), parsed.channels_df(), sport=parsed.sport
+        )
+        assert p1 == p2
+
+    def test_crc_mismatch_diagnosed(self):
+        pts = canonical_points()
+        payload = bytearray(fit_mod.encode_fit(pts, None))
+        payload[-1] ^= 0xFF
+        parsed = fit_mod.parse_fit(bytes(payload), "a1")
+        assert any(d[1] == "fit.trailer.crc_mismatch" for d in parsed.diags)
+        assert len(parsed.ts_us) == 3  # still parses (report mode)
+
+    def test_truncated(self):
+        pts = canonical_points()
+        payload = fit_mod.encode_fit(pts, None)
+        parsed = fit_mod.parse_fit(payload[:30], "a1")
+        assert any("truncated" in d[1] or "crc" in d[1] for d in parsed.diags)
+
+    def test_garbage(self):
+        parsed = fit_mod.parse_fit(b"\x00" * 64, "a1")
+        assert any(d[1] == "fit.header.invalid" for d in parsed.diags)
+
+
+class TestDetect:
+    def test_all_formats(self):
+        pts, ch = canonical_points(), canonical_channels()
+        assert detect.detect_format(gpx.encode_gpx(pts, ch)) == "gpx"
+        assert detect.detect_format(tcx.encode_tcx(pts, ch)) == "tcx"
+        assert detect.detect_format(csv_fmt.encode_csv(pts, ch)) == "csv"
+        assert detect.detect_format(geojson.encode_geojson(pts)) == "geojson"
+        assert detect.detect_format(fit_mod.encode_fit(pts, ch)) == "fit"
+
+    def test_base64_fit(self):
+        import base64
+
+        payload = base64.b64encode(fit_mod.encode_fit(canonical_points(), None))
+        assert detect.detect_format(payload) == "fit"
+
+    def test_unknown(self):
+        assert detect.detect_format(b"hello world") == "unknown"
+        assert detect.detect_format(b"\x01\x02\x03\x04") == "unknown"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParseStageOnRay:
+    def test_parse_fanout(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        pts, ch = canonical_points(), canonical_channels()
+        payloads = pa.table(
+            {
+                "activity_id": ["g1", "t1", "c1", "j1", "f1", "bad"],
+                "bytes": [
+                    gpx.encode_gpx(pts, ch),
+                    tcx.encode_tcx(pts, ch),
+                    csv_fmt.encode_csv(pts, ch),
+                    geojson.encode_geojson(pts),
+                    fit_mod.encode_fit(pts, ch),
+                    b"garbage not a format",
+                ],
+            }
+        )
+        ds = rd.from_arrow(payloads)
+        points = ds.map_batches(
+            stage.parse_batch, batch_format="pyarrow", fn_kwargs={"output": "points"}
+        ).to_pandas()
+        assert set(points["activity_id"]) == {"g1", "t1", "c1", "j1", "f1"}
+        assert len(points) == 15
+        diags = ds.map_batches(
+            stage.parse_batch, batch_format="pyarrow", fn_kwargs={"output": "diagnostics"}
+        ).to_pandas()
+        assert "bad" in set(diags["activity_id"])
+        acts = ds.map_batches(
+            stage.parse_batch, batch_format="pyarrow", fn_kwargs={"output": "activities"}
+        ).to_pandas()
+        assert len(acts) == 6
+        assert acts.set_index("activity_id").loc["g1", "n_points"] == 3
