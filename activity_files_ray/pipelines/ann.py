@@ -1,0 +1,115 @@
+"""Similarity search over an embedding column (task brief):
+brute-force cosine top-k as the exact baseline, and an IVF
+(inverted-file) variant as the scale path.
+
+Ray-Data-first shape: the query matrix and the centroid table are
+broadcast small sides; each batch does one numpy matmul; per-batch
+top-k rows fold into a tiny driver merge (same combiner-tree argument
+as pipelines/agg.py). The IVF index is built ONCE on the driver from
+a bounded sample (deterministic k-means) — at 100 TB the assignment
+pass writes cluster-partitioned parquet so probes read only
+``nprobe``/``n_clusters`` of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack(col.to_numpy()).astype(np.float64)
+
+
+def brute_force_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k: per-batch matmul + per-batch top-k, then a
+    tiny global merge. Deterministic tie-break on id."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q) + 1e-30
+
+    def batch_topk(df: pd.DataFrame) -> pd.DataFrame:
+        emb = _as_matrix(df[vec_col])
+        cos = emb @ q / (np.linalg.norm(emb, axis=1) * qn + 1e-30)
+        kk = min(k, len(cos))
+        top = np.argpartition(-cos, kk - 1)[:kk]
+        return pd.DataFrame({id_col: df[id_col].to_numpy()[top], "cos": cos[top]})
+
+    parts = ds.map_batches(batch_topk, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def kmeans_fit(
+    sample: np.ndarray, n_clusters: int = 16, n_iter: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (the IVF
+    coarse quantizer). Spherical: rows are L2-normalized first."""
+    x = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-30)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
+    cent = x[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) + 1e-30)
+    return cent
+
+
+def ivf_build(
+    ds, vec_col: str = "embedding", n_clusters: int = 16, sample_n: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit the coarse quantizer from a bounded head sample."""
+    sample = _as_matrix(
+        pd.DataFrame(ds.take(sample_n))[vec_col]
+    )
+    return kmeans_fit(sample, n_clusters, seed=seed)
+
+
+def ivf_topk(
+    ds,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """IVF search: probe only the ``nprobe`` nearest centroids'
+    vectors. Approximate (recall < 1 possible); tested against the
+    brute-force oracle for recall, not equality."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) + 1e-30)
+    probe = set(np.argsort(-(centroids @ qn))[:nprobe].tolist())
+
+    def batch_probe(df: pd.DataFrame) -> pd.DataFrame:
+        emb = _as_matrix(df[vec_col])
+        norm = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-30)
+        assign = np.argmax(norm @ centroids.T, axis=1)
+        mask = np.isin(assign, list(probe))
+        if not mask.any():
+            return pd.DataFrame({id_col: [], "cos": []})
+        cos = norm[mask] @ qn
+        ids = df[id_col].to_numpy()[mask]
+        kk = min(k, len(cos))
+        top = np.argpartition(-cos, kk - 1)[:kk]
+        return pd.DataFrame({id_col: ids[top], "cos": cos[top]})
+
+    parts = ds.map_batches(batch_probe, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

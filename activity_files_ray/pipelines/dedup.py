@@ -1,0 +1,360 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup (task brief: first-class
+training-data-pipeline operators).
+
+All public-knowledge algorithms (Broder MinHash, Charikar SimHash,
+banded LSH). Ray-Data-first shape:
+
+* signatures are computed per batch (vectorized numpy over token
+  hashes) — the only full-corpus pass;
+* LSH bucketing emits (band_key, doc_id) rows; buckets with ≥2 docs
+  become candidate pairs (at bench scale the bucket table is small
+  and folds on the driver; at 100 TB the same rows feed a
+  ``groupby(band_key)`` shuffle instead — the emit format is
+  identical);
+* candidate pairs are VERIFIED with the exact measure (Jaccard on
+  shingle sets / Hamming on simhash / cosine on vectors) — LSH only
+  proposes;
+* clusters = union-find over verified pairs (candidate graph is
+  tiny relative to the corpus by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _fnv1a64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a. Python's builtin ``hash`` is
+    per-process salted (PYTHONHASHSEED) — using it would give every
+    Ray worker different LSH buckets."""
+    h = 0xCBF29CE484222325
+    for byte in s.encode():
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+
+def shingle_set(text: str, k: int = 3) -> np.ndarray:
+    """Sorted unique shingle hashes of a document (exact-Jaccard
+    ground truth and MinHash input)."""
+    toks = text.split()
+    if not toks:
+        return np.zeros(1, dtype=np.uint64)
+    if len(toks) < k:
+        joined = ["\x1f".join(toks)]
+    else:
+        joined = ["\x1f".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.fromiter(
+        (_fnv1a64(s) & 0x7FFFFFFFFFFFFFFF for s in joined),
+        dtype=np.uint64,
+        count=len(joined),
+    )
+    return np.unique(out)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted unique hash sets."""
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def _fast_minhash_matrix(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a_i·x + b_i) mod p for all permutations × shingles, overflow-
+    safe in uint64: operands are split into 31-bit halves so every
+    intermediate product stays below 2^62 before reduction mod the
+    Mersenne prime p = 2^61 − 1."""
+    P = np.uint64(_MERSENNE)
+    x = (shingles.astype(np.uint64) % P)
+    xh = x >> np.uint64(31)
+    xl = x & np.uint64((1 << 31) - 1)
+    t2_31 = np.uint64(1 << 31) % P
+    t2_62 = (t2_31 * t2_31) % P
+    out = np.empty((a.size, x.size), dtype=np.uint64)
+    for i in range(a.size):
+        ai = a[i] % P
+        aih = ai >> np.uint64(31)
+        ail = ai & np.uint64((1 << 31) - 1)
+        p1 = (aih * xh) % P
+        p2 = (aih * xl + ail * xh) % P
+        p3 = (ail * xl) % P
+        t = (p1 * t2_62) % P
+        t = (t + (p2 * t2_31) % P) % P
+        t = (t + p3) % P
+        out[i] = (t + b[i] % P) % P
+    return out
+
+
+class FastMinHasher:
+    """Deterministic vectorized MinHash (the production path)."""
+
+    def __init__(self, n_perm: int = 128, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.n_perm = n_perm
+        self.a = rng.integers(1, _MERSENNE, n_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, n_perm, dtype=np.int64).astype(np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        m = _fast_minhash_matrix(shingles, self.a, self.b)
+        return m.min(axis=1).astype(np.int64)
+
+
+def band_keys(sig: np.ndarray, bands: int) -> list[int]:
+    """Split a signature into ``bands`` row-groups; each band hashes
+    to one bucket key (band index folded in so bands never collide)."""
+    r = sig.size // bands
+    keys = []
+    for bnd in range(bands):
+        chunk = sig[bnd * r : (bnd + 1) * r]
+        h = 1469598103934665603
+        for v in chunk.tolist():
+            h = ((h ^ (v & 0xFFFFFFFFFFFFFFFF)) * 1099511628211) % (1 << 64)
+        keys.append((bnd << 56) ^ (h & 0x00FFFFFFFFFFFFFF))
+    return keys
+
+
+def simhash64(text: str) -> int:
+    """Charikar 64-bit SimHash over whitespace tokens."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = _fnv1a64(tok)
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out.astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = self.parent.setdefault(p, p)
+            x = self.parent[x]
+            p = self.parent.setdefault(x, x)
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def _pairs_from_buckets(bucket_df: pd.DataFrame, max_bucket: int = 64) -> set[tuple]:
+    """(band_key, doc_id) rows → candidate pairs. Buckets larger than
+    ``max_bucket`` are skipped with the cap logged by the caller
+    (degenerate buckets are hash-collision storms, not near-dups)."""
+    pairs: set[tuple] = set()
+    for _, g in bucket_df.groupby("band_key"):
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < 2 or len(ids) > max_bucket:
+            continue
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+def minhash_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    seed: int = 42,
+):
+    """MinHash+LSH near-dup detection over a Dataset of documents.
+
+    Returns (clusters_df(doc_id, cluster_id) for docs in any
+    near-dup cluster, verified_pairs_df(a, b, jaccard)).
+    """
+    hasher = FastMinHasher(n_perm, seed)
+
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_key = [], []
+        for did, txt in zip(df[id_col], df[text_col].fillna("")):
+            sig = hasher.signature(shingle_set(txt, shingle_k))
+            for k in band_keys(sig, bands):
+                rows_id.append(did)
+                rows_key.append(k)
+        return pd.DataFrame({"doc_id": rows_id, "band_key": np.asarray(rows_key, dtype=np.int64)})
+
+    buckets = ds.map_batches(sig_batch, batch_format="pandas").to_pandas()
+    pairs = _pairs_from_buckets(buckets)
+    if not pairs:
+        return (
+            pd.DataFrame(columns=[id_col, "cluster_id"]),
+            pd.DataFrame(columns=["a", "b", "jaccard"]),
+        )
+    # verify candidates with exact Jaccard: fetch only candidate texts
+    cand_ids = sorted({d for p in pairs for d in p})
+    texts = _fetch_texts(ds, id_col, text_col, cand_ids)
+    sh = {d: shingle_set(texts[d], shingle_k) for d in cand_ids if d in texts}
+    uf = _UnionFind()
+    verified = []
+    for a, b in sorted(pairs):
+        if a not in sh or b not in sh:
+            continue
+        j = jaccard(sh[a], sh[b])
+        if j >= threshold:
+            verified.append((a, b, j))
+            uf.union(a, b)
+    members = sorted({d for a, b, _ in verified for d in (a, b)})
+    clusters = pd.DataFrame(
+        {id_col: members, "cluster_id": [uf.find(d) for d in members]}
+    )
+    vp = pd.DataFrame(verified, columns=["a", "b", "jaccard"])
+    return clusters, vp
+
+
+def simhash_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+):
+    """SimHash near-dup: 64-bit fingerprints, banded 16-bit buckets
+    for candidates, exact Hamming verification."""
+    def fp_batch(df: pd.DataFrame) -> pd.DataFrame:
+        fps = [simhash64(t) for t in df[text_col].fillna("")]
+        return pd.DataFrame({"doc_id": df[id_col], "fp": np.asarray(fps, dtype=np.int64)})
+
+    fps = ds.map_batches(fp_batch, batch_format="pandas").to_pandas()
+    width = 64 // bands
+    rows = []
+    for bnd in range(bands):
+        key = (
+            (fps["fp"].to_numpy(np.int64).view(np.uint64) >> np.uint64(bnd * width))
+            & np.uint64((1 << width) - 1)
+        ).astype(np.int64)
+        rows.append(
+            pd.DataFrame({"doc_id": fps["doc_id"], "band_key": (np.int64(bnd) << np.int64(58)) ^ key})
+        )
+    pairs = _pairs_from_buckets(pd.concat(rows, ignore_index=True))
+    fp_of = dict(zip(fps["doc_id"], fps["fp"]))
+    uf = _UnionFind()
+    verified = []
+    for a, b in sorted(pairs):
+        hd = hamming64(fp_of[a], fp_of[b])
+        if hd <= max_hamming:
+            verified.append((a, b, hd))
+            uf.union(a, b)
+    members = sorted({d for a, b, _ in verified for d in (a, b)})
+    clusters = pd.DataFrame(
+        {id_col: members, "cluster_id": [uf.find(d) for d in members]}
+    )
+    return clusters, pd.DataFrame(verified, columns=["a", "b", "hamming"])
+
+
+def embedding_near_dup(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+):
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets +
+    exact cosine verification."""
+    first = ds.take(1)
+    dim = len(first[0][vec_col]) if first else 0
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def bucket_batch(df: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        signs = (emb @ planes.T) > 0
+        keys = np.zeros(len(df), dtype=np.int64)
+        for i in range(n_planes):
+            keys |= signs[:, i].astype(np.int64) << i
+        return pd.DataFrame({"doc_id": df[id_col], "band_key": keys})
+
+    buckets = ds.map_batches(bucket_batch, batch_format="pandas").to_pandas()
+    pairs = _pairs_from_buckets(buckets, max_bucket=256)
+    cand_ids = sorted({d for p in pairs for d in p})
+    if not cand_ids:
+        return (
+            pd.DataFrame(columns=[id_col, "cluster_id"]),
+            pd.DataFrame(columns=["a", "b", "cos"]),
+        )
+    vecs = _fetch_vecs(ds, id_col, vec_col, cand_ids)
+    uf = _UnionFind()
+    verified = []
+    for a, b in sorted(pairs):
+        va, vb = vecs.get(a), vecs.get(b)
+        if va is None or vb is None:
+            continue
+        cos = float(
+            va @ vb / ((np.linalg.norm(va) * np.linalg.norm(vb)) + 1e-30)
+        )
+        if cos >= threshold:
+            verified.append((a, b, cos))
+            uf.union(a, b)
+    members = sorted({d for a, b, _ in verified for d in (a, b)})
+    clusters = pd.DataFrame(
+        {id_col: members, "cluster_id": [uf.find(d) for d in members]}
+    )
+    return clusters, pd.DataFrame(verified, columns=["a", "b", "cos"])
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_docs: int = 20_000,
+):
+    """Exact all-pairs n-gram Jaccard (the brute-force oracle for the
+    LSH paths; bounded input by construction — use minhash_dedup for
+    open-ended corpora)."""
+    df = ds.to_pandas()
+    assert len(df) <= max_docs, "ngram_jaccard_pairs is the small-corpus oracle"
+    ids = df[id_col].tolist()
+    sets = [shingle_set(t, shingle_k) for t in df[text_col].fillna("")]
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = jaccard(sets[i], sets[j])
+            if jac >= threshold:
+                out.append((ids[i], ids[j], jac))
+    return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+
+
+def _fetch_texts(ds, id_col: str, text_col: str, ids: list) -> dict:
+    idset = set(ids)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[id_col].isin(idset)][[id_col, text_col]]
+
+    got = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    return dict(zip(got[id_col], got[text_col]))
+
+
+def _fetch_vecs(ds, id_col: str, vec_col: str, ids: list) -> dict:
+    idset = set(ids)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[id_col].isin(idset)][[id_col, vec_col]]
+
+    got = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    return {
+        i: np.asarray(v, dtype=np.float64) for i, v in zip(got[id_col], got[vec_col])
+    }

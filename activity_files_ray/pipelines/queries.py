@@ -783,6 +783,82 @@ def _embedding_query_vector(sf_dir: str) -> np.ndarray:
     return np.asarray(v0, dtype=np.float64)
 
 
+def q_minhash_dupes(sf_dir: str):
+    """MinHash+LSH near-dup clusters over documents (rows-only: LSH
+    isn't SQL-expressible; planted-corpus + brute-force-oracle tests
+    in tests/test_dedup_ann.py)."""
+    from . import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    clusters, _pairs = dedup.minhash_dedup(ds, threshold=0.8)
+    return clusters
+
+
+def q_simhash_dupes(sf_dir: str):
+    """SimHash near-dup clusters over documents (rows-only)."""
+    from . import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    clusters, _pairs = dedup.simhash_dedup(ds, max_hamming=3)
+    return clusters
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup clusters (random-hyperplane LSH +
+    exact verification; rows-only)."""
+    from . import dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    clusters, _pairs = dedup.embedding_near_dup(ds, threshold=0.98)
+    return clusters
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF approximate nearest neighbors for the vec_id-0 query
+    (rows-only; recall-vs-bruteforce tested in tests)."""
+    from . import ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ann.ivf_build(ds, n_clusters=16)
+    return ann.ivf_topk(ds, cents, _embedding_query_vector(sf_dir), k=10, nprobe=4)
+
+
+def q_doc_quality(sf_dir: str):
+    """Per-quality-bucket document counts (heuristic scoring;
+    rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        q_ = text.quality_scores(df["text"])
+        return pd.DataFrame(
+            {"bucket": np.floor(q_["quality"].to_numpy() * 10.0).astype(np.int64)}
+        )
+
+    return agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pandas"), ["bucket"], {"n_docs": ("", "count")}
+    )
+
+
+def q_doc_fingerprint64(sf_dir: str):
+    """Rolling-hash 64-bit document fingerprints: distinct count per
+    lang — SQL-oracle-free (hash fn not in SQL); rows-only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": df["lang"], "fp": text.rolling_fingerprint64(df["text"])}
+        )
+
+    fps = ds.map_batches(prep, batch_format="pandas").to_pandas()
+    out = fps.groupby("lang", as_index=False).agg(
+        n_docs=("fp", "size"), n_distinct=("fp", "nunique")
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out
+
+
+
 def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """The headline spatial pipeline (driver smoke check / bench):
     derive trackpoints → vectorized cell encode → broadcast PIP join
@@ -834,4 +910,10 @@ QUERIES: dict[str, tuple] = {
     "lang_id_counts": (q_lang_id_counts, None),
     "embed_axis_topk": (q_embed_axis_topk, SQL_EMBED_AXIS_TOPK),
     "embed_cosine_topk": (q_embed_cosine_topk, None),
+    "minhash_dupes": (q_minhash_dupes, None),
+    "simhash_dupes": (q_simhash_dupes, None),
+    "embed_near_dup": (q_embed_near_dup, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "doc_quality": (q_doc_quality, None),
+    "doc_fingerprint64": (q_doc_fingerprint64, None),
 }

@@ -1,0 +1,149 @@
+"""Dedup + similarity-search tests with planted near-duplicates and
+brute-force oracles (SURVEY.md §5 test strategy, extended to the
+training-data operators)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from activity_files_ray.pipelines import ann, dedup
+
+BASE_DOCS = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "ray data pipelines stream arrow batches through the object store with backpressure",
+    "spatial joins assign trackpoints to hexagonal cells before aggregation at scale",
+    "completely unrelated text about cooking pasta with tomato sauce and fresh basil leaves",
+    "minhash signatures approximate jaccard similarity between shingled token sets efficiently",
+]
+
+
+def planted_corpus() -> pd.DataFrame:
+    """Base docs + near-copies (1-2 token edits) + exact copy."""
+    docs = list(BASE_DOCS)
+    docs.append(BASE_DOCS[0].replace("lazy", "sleepy"))  # near-dup of 0
+    docs.append(BASE_DOCS[1] + " reliably")  # near-dup of 1
+    docs.append(BASE_DOCS[2])  # exact dup of 2
+    return pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhash:
+    def test_finds_planted_neardups(self):
+        import ray.data as rd
+
+        ds = rd.from_pandas(planted_corpus())
+        clusters, pairs = dedup.minhash_dedup(ds, threshold=0.5)
+        got = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+        assert (0, 5) in got
+        assert (1, 6) in got
+        assert (2, 7) in got
+        # no cross-base false positives survive verification
+        assert not any(a < 5 and b < 5 for a, b in got)
+
+    def test_matches_bruteforce_oracle(self):
+        import ray.data as rd
+
+        ds = rd.from_pandas(planted_corpus())
+        _cl, pairs = dedup.minhash_dedup(ds, threshold=0.5)
+        oracle = dedup.ngram_jaccard_pairs(ds, threshold=0.5)
+        got = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+        exp = {tuple(sorted(p)) for p in zip(oracle["a"], oracle["b"])}
+        # LSH+verify may only MISS pairs (probabilistic recall), never
+        # invent them; with 128 perms over these dups it finds all
+        assert got == exp
+
+    def test_signature_determinism_across_seeds(self):
+        sh = dedup.shingle_set("a b c d e f g h")
+        m1 = dedup.FastMinHasher(64, seed=42)
+        m2 = dedup.FastMinHasher(64, seed=42)
+        np.testing.assert_array_equal(m1.signature(sh), m2.signature(sh))
+
+    def test_minhash_estimates_jaccard(self):
+        a = dedup.shingle_set(" ".join(f"w{i}" for i in range(100)))
+        b = dedup.shingle_set(" ".join(f"w{i}" for i in range(20, 120)))
+        m = dedup.FastMinHasher(256)
+        sa, sb = m.signature(a), m.signature(b)
+        est = float((sa == sb).mean())
+        exact = dedup.jaccard(a, b)
+        assert abs(est - exact) < 0.12
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimhash:
+    def test_finds_planted_neardups(self):
+        import ray.data as rd
+
+        ds = rd.from_pandas(planted_corpus())
+        clusters, pairs = dedup.simhash_dedup(ds, max_hamming=6)
+        got = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+        assert (2, 7) in got  # exact copy: hamming 0
+        assert (0, 5) in got or (1, 6) in got  # small edits stay close
+
+    def test_exact_copy_hamming_zero(self):
+        assert dedup.hamming64(
+            dedup.simhash64(BASE_DOCS[0]), dedup.simhash64(BASE_DOCS[0])
+        ) == 0
+
+    def test_unrelated_docs_far(self):
+        h = dedup.hamming64(
+            dedup.simhash64(BASE_DOCS[0]), dedup.simhash64(BASE_DOCS[3])
+        )
+        assert h > 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingNearDup:
+    def test_planted_vectors(self):
+        import ray.data as rd
+
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((20, 16))
+        near = base[3] + rng.standard_normal(16) * 0.01  # ~cos 1.0 with #3
+        vecs = np.vstack([base, near[None, :]])
+        df = pd.DataFrame(
+            {"vec_id": range(21), "embedding": [v for v in vecs]}
+        )
+        clusters, pairs = dedup.embedding_near_dup(rd.from_pandas(df), threshold=0.99)
+        got = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+        assert (3, 20) in got
+        assert len(got) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def _corpus(self, n=300, d=24, seed=1):
+        rng = np.random.default_rng(seed)
+        vecs = rng.standard_normal((n, d))
+        return pd.DataFrame({"vec_id": range(n), "embedding": [v for v in vecs]}), vecs
+
+    def test_bruteforce_matches_numpy_oracle(self):
+        import ray.data as rd
+
+        df, vecs = self._corpus()
+        q = vecs[7]
+        got = ann.brute_force_topk(rd.from_pandas(df), q, k=5)
+        cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+        exp = np.argsort(-cos)[:5]
+        assert got["vec_id"].tolist() == exp.tolist()
+        assert got["vec_id"].iloc[0] == 7  # self is nearest
+
+    def test_ivf_recall(self):
+        import ray.data as rd
+
+        df, vecs = self._corpus(n=500)
+        ds = rd.from_pandas(df)
+        cents = ann.ivf_build(ds, n_clusters=8, sample_n=500)
+        q = vecs[11]
+        exact = set(ann.brute_force_topk(ds, q, k=10)["vec_id"])
+        approx = set(ann.ivf_topk(ds, cents, q, k=10, nprobe=4)["vec_id"])
+        recall = len(exact & approx) / 10
+        assert recall >= 0.6  # nprobe=4 of 8 clusters
+        full = set(ann.ivf_topk(ds, cents, q, k=10, nprobe=8)["vec_id"])
+        assert full == exact  # probing everything is exact
+
+    def test_kmeans_deterministic(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((200, 8))
+        np.testing.assert_array_equal(
+            ann.kmeans_fit(x, 4, seed=9), ann.kmeans_fit(x, 4, seed=9)
+        )

@@ -1,0 +1,109 @@
+"""Checkpoint/resume, lineage, and metrics tests (north_rule:
+resumable per-partition runs with lineage + per-stage metrics)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from activity_files_ray.state import checkpoint, metrics
+
+
+def _write_inputs(tmp_path, n_files=6, rows_per=100):
+    files = []
+    for i in range(n_files):
+        t = pa.table({"x": pa.array(range(i * rows_per, (i + 1) * rows_per))})
+        p = str(tmp_path / f"in-{i:03d}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+    return files
+
+
+def _process(part_id, inputs, out_dir):
+    tables = [pq.read_table(f) for f in inputs]
+    total = pa.concat_tables(tables)
+    out = pa.table({"x2": pa.array([v * 2 for v in total["x"].to_pylist()])})
+    pq.write_table(out, os.path.join(out_dir, "data.parquet"))
+    return {"rows_in": total.num_rows, "rows_out": out.num_rows}
+
+
+class TestCheckpoint:
+    def test_full_run_then_resume_skips_all(self, tmp_path):
+        files = _write_inputs(tmp_path)
+        parts = checkpoint.partition_input_files(files, 3)
+        out_dir = str(tmp_path / "out")
+        r1 = checkpoint.run_resumable(parts, out_dir, _process)
+        assert len(r1["ran"]) == 3 and not r1["skipped"] and not r1["failed"]
+        r2 = checkpoint.run_resumable(parts, out_dir, _process)
+        assert len(r2["skipped"]) == 3 and not r2["ran"]
+
+    def test_partial_failure_then_resume(self, tmp_path):
+        files = _write_inputs(tmp_path)
+        parts = checkpoint.partition_input_files(files, 3)
+        out_dir = str(tmp_path / "out")
+        calls = []
+
+        def flaky(part_id, inputs, od):
+            calls.append(part_id)
+            if part_id == "00001" and len(calls) <= 2:
+                raise RuntimeError("simulated crash")
+            return _process(part_id, inputs, od)
+
+        r1 = checkpoint.run_resumable(parts, out_dir, flaky)
+        assert [f[0] for f in r1["failed"]] == ["00001"]
+        assert len(r1["ran"]) == 2
+        # no partial output for the failed partition
+        assert not os.path.exists(os.path.join(out_dir, "part=00001"))
+        r2 = checkpoint.run_resumable(parts, out_dir, flaky)
+        assert r2["ran"] == ["00001"] and len(r2["skipped"]) == 2
+        # resumed output identical to a fresh full run
+        fresh_dir = str(tmp_path / "fresh")
+        checkpoint.run_resumable(parts, fresh_dir, _process)
+        a = pq.read_table(os.path.join(out_dir, "part=00001", "data.parquet"))
+        b = pq.read_table(os.path.join(fresh_dir, "part=00001", "data.parquet"))
+        assert a.equals(b)
+
+    def test_lineage_recorded(self, tmp_path):
+        files = _write_inputs(tmp_path, n_files=2)
+        parts = checkpoint.partition_input_files(files, 2)
+        out_dir = str(tmp_path / "out")
+        checkpoint.run_resumable(parts, out_dir, _process, stage_version="v7")
+        entry = json.load(
+            open(os.path.join(out_dir, "_MANIFEST", "00000.json"))
+        )
+        assert entry["stage_version"] == "v7"
+        assert entry["rows_in"] == 100 and entry["rows_out"] == 100
+        assert entry["inputs"] and entry["wall_s"] >= 0
+
+    def test_stage_version_invalidates(self, tmp_path):
+        files = _write_inputs(tmp_path, n_files=2)
+        parts = checkpoint.partition_input_files(files, 2)
+        out_dir = str(tmp_path / "out")
+        checkpoint.run_resumable(parts, out_dir, _process, stage_version="v1")
+        r2 = checkpoint.run_resumable(parts, out_dir, _process, stage_version="v2")
+        assert len(r2["ran"]) == 2  # old version's parts don't count
+
+
+class TestMetrics:
+    def test_collector_roundtrip(self, tmp_path):
+        m = metrics.StageMetrics()
+        m.record("parse", "00000", rows_in=10, rows_out=8, wall_s=0.5)
+        m.timed("noop", lambda: None)
+        path = str(tmp_path / "metrics.jsonl")
+        m.to_jsonl(path)
+        lines = [json.loads(line) for line in open(path)]
+        assert lines[0]["stage"] == "parse" and lines[0]["rows_out"] == 8
+        t = m.to_table()
+        assert t.num_rows == 2
+        assert t.column_names == ["stage", "partition", "rows_in", "rows_out", "wall_s"]
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_ray_stage_stats(self):
+        import ray.data as rd
+
+        ds = rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow")
+        ds = ds.materialize()
+        rows = metrics.ray_stage_stats(ds)
+        assert rows and all("wall_s" in r for r in rows)
