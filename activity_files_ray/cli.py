@@ -1,0 +1,119 @@
+"""CLI: convert / validate over files or directories (reference S13,
+``/root/reference/bin/activity_files.dart:37-394``; exit codes 64/65
+kept: 64 usage error, 65 data error).
+
+Single file → pure local path (no Ray). Directory → corpus pipeline
+on a local Ray session (the ``ray job submit`` entry point would
+invoke exactly this module on the cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="activity-files-ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("convert", help="convert activity payload(s)")
+    c.add_argument("input")
+    c.add_argument("-o", "--output", required=True)
+    c.add_argument("-t", "--to", required=True,
+                   choices=["gpx", "tcx", "csv", "geojson", "fit"])
+    c.add_argument("--from", dest="from_fmt", default=None)
+    v = sub.add_parser("validate", help="validate activity payload(s)")
+    v.add_argument("input")
+    args = ap.parse_args(argv)
+
+    if not os.path.exists(args.input):
+        print(f"error: no such input {args.input!r}", file=sys.stderr)
+        return 64
+
+    if args.cmd == "convert":
+        return _convert(args)
+    return _validate(args)
+
+
+def _convert(args) -> int:
+    from .pipelines import convert as cv
+
+    if os.path.isdir(args.input):
+        return _convert_dir(args)
+    data = open(args.input, "rb").read()
+    payload, diags = cv.convert_one(
+        data, args.to, activity_id=os.path.basename(args.input), fmt=args.from_fmt
+    )
+    errors = diags[diags["severity"] == "error"] if len(diags) else diags
+    for _, d in (diags.iterrows() if len(diags) else []):
+        print(f"[{d['severity']}] {d['code']}: {d['message']}", file=sys.stderr)
+    if len(errors):
+        return 65
+    with open(args.output, "wb") as f:
+        f.write(payload)
+    print(f"wrote {args.output} ({len(payload)} bytes)")
+    return 0
+
+
+def _convert_dir(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .pipelines import convert as cv
+    from .sources import detect
+
+    files = sorted(
+        os.path.join(args.input, f)
+        for f in os.listdir(args.input)
+        if not f.startswith(".")
+    )
+    rows = {
+        "activity_id": [os.path.basename(f) for f in files],
+        "bytes": [open(f, "rb").read() for f in files],
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    encoded, diags = cv.convert_corpus(ds, args.to)
+    os.makedirs(args.output, exist_ok=True)
+    n = 0
+    for row in encoded.iter_rows():
+        out = os.path.join(args.output, f"{row['activity_id']}.{args.to}")
+        with open(out, "wb") as f:
+            f.write(row["bytes"])
+        n += 1
+    dd = diags.to_pandas()
+    for _, d in dd.iterrows():
+        print(f"[{d['severity']}] {d['activity_id']} {d['code']}", file=sys.stderr)
+    print(f"converted {n} activities -> {args.output}")
+    _ = detect
+    ray.shutdown()
+    return 0 if not (dd["severity"] == "error").any() else 65
+
+
+def _validate(args) -> int:
+    from .sources import stage as src_stage
+    from .stages import validate as vd
+
+    data = open(args.input, "rb").read()
+    parsed = src_stage.parse_payload(data, os.path.basename(args.input))
+    pts = parsed.points_df()
+    diags = parsed.diags_df()
+    if len(pts):
+        import pandas as pd
+
+        diags = pd.concat(
+            [diags, vd.validate_points_group(pts)], ignore_index=True
+        )
+    for _, d in diags.iterrows():
+        print(f"[{d['severity']}] {d['code']}: {d['message']}")
+    n_err = int((diags["severity"] == "error").sum()) if len(diags) else 0
+    print(f"{len(pts)} points, {len(diags)} diagnostics, {n_err} errors")
+    return 65 if n_err else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

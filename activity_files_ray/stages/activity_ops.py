@@ -1,0 +1,181 @@
+"""Activity-level set operations + projections (reference O5/O6,
+M18/M19/M20).
+
+* merge (``facade:751-803``): n-way union of activities' collections,
+  re-keyed to one activity id, re-sorted chronologically; optional
+  per-lap sport stamping.
+* split_by_sport (``facade:832-911``): partition one activity into
+  per-sport activities by lap time ranges (J3 containment join).
+* flattened (``models.dart:1385-1430``): merge additional tracks into
+  one chronological track, clearing segment indices.
+* lossiness projection (``facade:299-382``): pure function
+  (activity stats, target format) → ``lossy.*`` info diagnostics.
+* sport inference (``facade:386-404,1012-1093``): registered mapper
+  chain (LIFO) + keyword tokens + numeric-id table.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+
+# --- sport inference (M20) ---------------------------------------------------
+
+_SPORT_KEYWORDS = {
+    "run": "running", "running": "running", "jog": "running",
+    "ride": "cycling", "bike": "cycling", "biking": "cycling",
+    "cycling": "cycling", "cycle": "cycling",
+    "swim": "swimming", "swimming": "swimming",
+    "hike": "hiking", "hiking": "hiking",
+    "walk": "walking", "walking": "walking",
+}
+# FIT sport enum ids (public FIT profile subset)
+_SPORT_IDS = {0: "unknown", 1: "running", 2: "cycling", 5: "swimming",
+              11: "walking", 17: "hiking"}
+
+SportMapper = Callable[[object], str | None]
+_MAPPERS: list[SportMapper] = []
+
+
+def register_sport_mapper(fn: SportMapper) -> None:
+    """User-extension hook: LIFO mapper chain (facade:27,36,386-398)."""
+    _MAPPERS.insert(0, fn)
+
+
+def clear_sport_mappers() -> None:
+    _MAPPERS.clear()
+
+
+def infer_sport(value: object) -> str:
+    """Mapper chain → keyword tokens → numeric ids → recursive descent
+    into mappings/iterables (facade:1012-1093 semantics)."""
+    for mapper in _MAPPERS:
+        got = mapper(value)
+        if got:
+            return got
+    if isinstance(value, str):
+        for tok in re.findall(r"\w+", value.lower()):
+            if tok in _SPORT_KEYWORDS:
+                return _SPORT_KEYWORDS[tok]
+            if tok.isdigit() and int(tok) in _SPORT_IDS:
+                return _SPORT_IDS[int(tok)]
+        return "unknown"
+    if isinstance(value, (int, np.integer)):
+        return _SPORT_IDS.get(int(value), "unknown")
+    if isinstance(value, dict):
+        for v in value.values():
+            got = infer_sport(v)
+            if got != "unknown":
+                return got
+        return "unknown"
+    if isinstance(value, (list, tuple)):
+        for v in value:
+            got = infer_sport(v)
+            if got != "unknown":
+                return got
+        return "unknown"
+    return "unknown"
+
+
+# --- merge / split / flatten -------------------------------------------------
+
+
+def merge_activities(
+    frames: list[pd.DataFrame], new_id: str = "merged"
+) -> pd.DataFrame:
+    """O5: union points of several activities under one id, re-sorted
+    chronologically; last-wins on exact duplicate timestamps (the
+    normalize invariant applies to the merged stream too)."""
+    if not frames:
+        return pd.DataFrame()
+    out = pd.concat(frames, ignore_index=True)
+    out["activity_id"] = new_id
+    out = out.sort_values("ts_us", kind="mergesort")
+    out = out[~out["ts_us"].duplicated(keep="last")].reset_index(drop=True)
+    if "seq" in out.columns:
+        out["seq"] = np.arange(len(out), dtype=np.int32)
+    return out
+
+
+def split_by_sport(
+    points: pd.DataFrame, spans: pd.DataFrame
+) -> pd.DataFrame:
+    """O6: stamp each point with the sport of the lap containing it
+    (containment join), then re-key activity_id per sport run. Points
+    outside every lap keep the original id with sport 'unknown'."""
+    ts = points["ts_us"].to_numpy(np.int64)
+    sport = np.full(ts.size, "unknown", dtype=object)
+    laps = spans[spans["kind"] == "lap"] if "kind" in spans.columns else spans
+    for _, r in laps.iterrows():
+        m = (ts >= int(r["start_us"])) & (ts <= int(r["end_us"]))
+        sp = r.get("sport")
+        if isinstance(sp, str) and sp:
+            sport[m] = sp
+    out = points.copy()
+    base = out["activity_id"].iloc[0] if len(out) else ""
+    out["sport"] = sport
+    out["activity_id"] = [f"{base}#{s}" for s in sport]
+    return out.reset_index(drop=True)
+
+
+def flatten_tracks(points: pd.DataFrame) -> pd.DataFrame:
+    """M18: merge multi-segment/multi-track points into one ordered
+    track (chronological re-sort, segment boundaries cleared — here:
+    the seq column re-numbered globally)."""
+    out = points.sort_values("ts_us", kind="mergesort").reset_index(drop=True)
+    if "seq" in out.columns:
+        out["seq"] = np.arange(len(out), dtype=np.int32)
+    return out
+
+
+# --- lossiness projection (M19) ----------------------------------------------
+
+# format → capabilities (what survives an encode), mirroring the
+# reference's per-format feature matrix (facade:299-382)
+_FORMAT_CAPS = {
+    "gpx": {"points", "channels", "segments", "waypoints", "routes"},
+    "tcx": {"points", "channels", "laps", "sports"},
+    "fit": {"points", "channels", "laps", "sessions", "events", "sports"},
+    "csv": {"points", "channels"},
+    "geojson": {"points", "channels", "metadata"},
+}
+
+
+def lossy_diagnostics(
+    stats: dict, target_fmt: str, activity_id: str = ""
+) -> pd.DataFrame:
+    """Pure projection: activity content stats + target format →
+    ``lossy.*`` info diagnostics. ``stats`` keys: n_laps, n_events,
+    n_sessions, n_segments, n_waypoints, n_routes (missing = 0)."""
+    caps = _FORMAT_CAPS.get(target_fmt, set())
+    rows = []
+
+    def note(feature: str, count: int, needs: str):
+        if count > 0 and needs not in caps:
+            rows.append(
+                (
+                    activity_id, "info", f"lossy.{feature}_dropped",
+                    f"{count} {feature} not representable in {target_fmt}",
+                    feature,
+                )
+            )
+
+    note("laps", int(stats.get("n_laps", 0)), "laps")
+    note("events", int(stats.get("n_events", 0)), "events")
+    note("sessions", int(stats.get("n_sessions", 0)), "sessions")
+    note("waypoints", int(stats.get("n_waypoints", 0)), "waypoints")
+    note("routes", int(stats.get("n_routes", 0)), "routes")
+    if int(stats.get("n_segments", 0)) > 1 and "segments" not in caps:
+        rows.append(
+            (
+                activity_id, "info", "lossy.tracks_flattened",
+                f"{stats['n_segments']} segments flattened into one in {target_fmt}",
+                "segments",
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["activity_id", "severity", "code", "message", "path"]
+    )

@@ -1,0 +1,204 @@
+"""Auto-fix, activity ops, convert pipeline, and CLI tests
+(reference integration layer: conversion matrix, multi-sport
+split/merge — SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from activity_files_ray import fixtures
+from activity_files_ray.pipelines import convert as cv
+from activity_files_ray.sources import gpx, stage, tcx
+from activity_files_ray.stages import activity_ops as ops
+from activity_files_ray.stages import autofix as af
+
+
+def _pts(ts, lat=None, lon=None, aid="a1"):
+    n = len(ts)
+    return pd.DataFrame(
+        {
+            "activity_id": [aid] * n,
+            "seq": np.arange(n, dtype=np.int32),
+            "ts_us": np.asarray(ts, dtype=np.int64),
+            "lat": lat if lat is not None else np.linspace(40.0, 40.01, n),
+            "lon": lon if lon is not None else np.linspace(-105.0, -105.01, n),
+            "ele": np.full(n, 1600.0),
+        }
+    )
+
+
+class TestAutofix:
+    def test_gap_fill(self):
+        df = _pts([0, 5_000_000, 305_000_000])  # 5-minute gap
+        out, n = af.fill_gaps(df, gap_threshold_s=60, step_s=60, max_inserted=10)
+        assert n == 4  # 60,120,180,240 s inserted
+        ts = out["ts_us"].to_numpy()
+        assert np.all(np.diff(ts) > 0)
+        # interpolation is linear between the gap endpoints
+        i = np.searchsorted(ts, 65_000_000)
+        frac = (ts[i] - 5_000_000) / 300_000_000
+        exp_lat = df["lat"].iloc[1] + frac * (df["lat"].iloc[2] - df["lat"].iloc[1])
+        assert out["lat"].iloc[i] == pytest.approx(exp_lat)
+
+    def test_gap_fill_cap(self):
+        df = _pts([0, 1_000_000_000])
+        out, n = af.fill_gaps(df, gap_threshold_s=10, step_s=1, max_inserted=5)
+        assert n == 5 and len(out) == 7
+
+    def test_mark_laps_by_distance(self):
+        # straight line north: ~111.2 m per 0.001 deg
+        lat = 40.0 + np.arange(20) * 0.001
+        df = _pts(np.arange(20) * 5_000_000, lat=lat, lon=np.full(20, -105.0))
+        laps = af.mark_laps_by_distance(df, 500.0)
+        assert len(laps) >= 4
+        assert laps["name"].iloc[0] == "Split 1"
+        # laps cover the whole track contiguously
+        assert laps["start_us"].iloc[0] == 0
+        assert laps["end_us"].iloc[-1] == int(df["ts_us"].iloc[-1])
+
+    def test_mark_laps_fallback_single(self):
+        df = _pts([0, 5_000_000], lat=np.array([40.0, 40.0]), lon=np.array([-105.0, -105.0]))
+        laps = af.mark_laps_by_distance(df, 1000.0)
+        assert len(laps) == 1 and laps["name"].iloc[0] == "Lap 1"
+
+    def test_autofix_composition(self):
+        dirty = _pts([20, 10, 10, 30], lat=np.array([40.0, 40.0, 91.0, 40.01]))
+        out = af.autofix_group(dirty, af.AutoFixOptions())
+        assert "distance_m" in out.columns and "speed_mps" in out.columns
+        assert out["ts_us"].is_monotonic_increasing
+
+
+class TestActivityOps:
+    def test_sport_inference(self):
+        assert ops.infer_sport("Morning Run 2024") == "running"
+        assert ops.infer_sport(2) == "cycling"
+        assert ops.infer_sport({"activity": "trail hike"}) == "hiking"
+        assert ops.infer_sport(["x", "swim"]) == "swimming"
+        assert ops.infer_sport("???") == "unknown"
+
+    def test_sport_mapper_chain_lifo(self):
+        ops.clear_sport_mappers()
+        ops.register_sport_mapper(lambda v: "cycling" if v == "x" else None)
+        ops.register_sport_mapper(lambda v: "running" if v == "x" else None)
+        try:
+            assert ops.infer_sport("x") == "running"  # last registered wins
+        finally:
+            ops.clear_sport_mappers()
+
+    def test_merge_last_wins(self):
+        a = _pts([10, 20], aid="a")
+        b = _pts([20, 30], aid="b", lat=np.array([41.0, 41.0]), lon=np.array([-106.0, -106.0]))
+        merged = ops.merge_activities([a, b], "m")
+        assert merged["ts_us"].tolist() == [10, 20, 30]
+        assert merged["lat"].iloc[1] == 41.0  # later frame wins the dup
+        assert set(merged["activity_id"]) == {"m"}
+
+    def test_split_by_sport(self):
+        pts = _pts([0, 10, 20, 30])
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["a1", "a1"],
+                "kind": ["lap", "lap"],
+                "start_us": [0, 20],
+                "end_us": [10, 30],
+                "sport": ["swimming", "running"],
+            }
+        )
+        out = ops.split_by_sport(pts, spans)
+        assert out["activity_id"].tolist() == [
+            "a1#swimming", "a1#swimming", "a1#running", "a1#running",
+        ]
+
+    def test_flatten(self):
+        df = _pts([30, 10, 20])
+        out = ops.flatten_tracks(df)
+        assert out["ts_us"].tolist() == [10, 20, 30]
+        assert out["seq"].tolist() == [0, 1, 2]
+
+    def test_lossy_projection(self):
+        d = ops.lossy_diagnostics(
+            {"n_laps": 2, "n_waypoints": 3, "n_segments": 2}, "csv", "a1"
+        )
+        codes = set(d["code"])
+        assert "lossy.laps_dropped" in codes
+        assert "lossy.waypoints_dropped" in codes
+        assert "lossy.tracks_flattened" in codes
+        d2 = ops.lossy_diagnostics({"n_laps": 2}, "fit", "a1")
+        assert len(d2) == 0  # FIT keeps laps
+
+
+class TestConvert:
+    def _gpx_payload(self) -> bytes:
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        ch = fixtures.canonical_channels().to_pandas().astype({"channel": str})
+        ch["ts_us"] = ch["ts_us"].astype("int64")
+        return gpx.encode_gpx(pts, ch)
+
+    def test_convert_one_matrix(self):
+        src = self._gpx_payload()
+        for to in ("gpx", "tcx", "csv", "geojson", "fit"):
+            payload, diags = cv.convert_one(src, to, "a1")
+            assert payload, to
+            reparsed = stage.parse_payload(payload, "check", to)
+            assert len(reparsed.ts_us) == 3, to
+            assert not any(d[0] == "error" for d in reparsed.diags), (to, reparsed.diags)
+
+    def test_convert_one_lossy_diag(self):
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"], "kind": ["lap"],
+                "start_us": [pts["ts_us"].iloc[0]], "end_us": [pts["ts_us"].iloc[2]],
+                "sport": ["cycling"], "dist_m": [150.0],
+            }
+        )
+        src = tcx.encode_tcx(pts, None, spans, sport="cycling")
+        _payload, diags = cv.convert_one(src, "csv", "a1")
+        assert "lossy.laps_dropped" in set(diags["code"])
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_convert_corpus(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        src = self._gpx_payload()
+        payloads = pa.table(
+            {"activity_id": [f"a{i}" for i in range(4)], "bytes": [src] * 4}
+        )
+        encoded, diags = cv.convert_corpus(rd.from_arrow(payloads), "geojson")
+        out = encoded.to_pandas()
+        assert len(out) == 4
+        for b in out["bytes"]:
+            assert stage.parse_payload(b, "x", "geojson").ts_us
+
+
+class TestCli:
+    def test_convert_file(self, tmp_path):
+        from activity_files_ray import cli
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        src = tmp_path / "in.gpx"
+        src.write_bytes(gpx.encode_gpx(pts, None))
+        out = tmp_path / "out.geojson"
+        rc = cli.main(["convert", str(src), "-o", str(out), "-t", "geojson"])
+        assert rc == 0 and out.exists()
+        assert stage.parse_payload(out.read_bytes(), "x", "geojson").ts_us
+
+    def test_validate_file(self, tmp_path, capsys):
+        from activity_files_ray import cli
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        src = tmp_path / "in.gpx"
+        src.write_bytes(gpx.encode_gpx(pts, None))
+        rc = cli.main(["validate", str(src)])
+        assert rc == 0
+        assert "3 points" in capsys.readouterr().out
+
+    def test_missing_input(self):
+        from activity_files_ray import cli
+
+        assert cli.main(["validate", "/nonexistent/file"]) == 64
