@@ -1,0 +1,242 @@
+"""Multimodal columns: image / audio / video as opaque binary columns
+with typed metadata, processed by actor-pool ``map_batches`` stages
+(task brief).
+
+What is REAL here: all Ray-side plumbing — schemas, actor signatures,
+batch sizing, fused decode→feature layouts — plus the image path
+end-to-end (PNG codec + FJPG lossy stub from functions/imaging.py)
+and PCM audio math.
+
+What is STUBBED (this container has no libjpeg/ffmpeg/libsndfile):
+real-codec decode raises ``NotImplementedError`` with the codec name;
+deterministic fake containers (``FPCM`` raw-PCM audio, ``FVID``
+concatenated-frame video) exercise the identical stage plumbing. A
+production deployment swaps ONLY the ``_decode_*`` internals.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import imaging
+
+AUDIO_MAGIC = b"FPCM"  # fake container: magic + rate u32 + int16 samples
+VIDEO_MAGIC = b"FVID"  # fake container: magic + n u32 + [len u32 + frame]*n
+
+REAL_AUDIO_CODECS = {"mp3", "flac", "ogg", "wav"}
+REAL_VIDEO_CODECS = {"mp4", "webm", "avi", "mkv"}
+
+
+# --- fake containers (fixture generation) ------------------------------------
+
+
+def encode_fake_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    s16 = np.clip(np.asarray(samples) * 32767.0, -32768, 32767).astype("<i2")
+    return AUDIO_MAGIC + struct.pack("<I", rate) + s16.tobytes()
+
+
+def encode_fake_video(frames: list[np.ndarray]) -> bytes:
+    out = bytearray(VIDEO_MAGIC + struct.pack("<I", len(frames)))
+    for f in frames:
+        payload = imaging.encode_png(f)
+        out += struct.pack("<I", len(payload)) + payload
+    return bytes(out)
+
+
+# --- decode internals (the swap point for real codecs) -----------------------
+
+
+def _decode_audio(data: bytes, codec: str) -> tuple[np.ndarray, int]:
+    if data[:4] == AUDIO_MAGIC:
+        rate = struct.unpack_from("<I", data, 4)[0]
+        pcm = np.frombuffer(data[8:], dtype="<i2").astype(np.float64) / 32767.0
+        return pcm, rate
+    if codec in REAL_AUDIO_CODECS:
+        raise NotImplementedError(
+            f"audio codec {codec!r} needs libsndfile/ffmpeg (absent in this "
+            "container); the FPCM fake container exercises the same stage"
+        )
+    raise ValueError(f"unknown audio payload (codec={codec!r})")
+
+
+def _decode_video_frames(data: bytes, codec: str, every_nth: int) -> list[np.ndarray]:
+    if data[:4] == VIDEO_MAGIC:
+        n = struct.unpack_from("<I", data, 4)[0]
+        pos = 8
+        frames = []
+        for i in range(n):
+            ln = struct.unpack_from("<I", data, pos)[0]
+            pos += 4
+            if i % every_nth == 0:
+                frames.append(imaging.decode_image(data[pos : pos + ln]))
+            pos += ln
+        return frames
+    if codec in REAL_VIDEO_CODECS:
+        raise NotImplementedError(
+            f"video codec {codec!r} needs ffmpeg (absent in this container); "
+            "the FVID fake container exercises the same stage"
+        )
+    raise ValueError(f"unknown video payload (codec={codec!r})")
+
+
+# --- actor-pool stages -------------------------------------------------------
+
+
+class ImageResizer:
+    """Actor stage: decode → block-mean resize → re-encode PNG.
+    Output schema: (image_id, bytes, w, h). Use small ``batch_size``
+    (16–64): rows are fat (SURVEY.md §4.2)."""
+
+    def __init__(self, target: int = 64):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for row_id, payload in zip(
+            batch["image_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            rgb = imaging.decode_image(payload)
+            outs.append(imaging.encode_png(_block_resize(rgb, self.target)))
+            ids.append(row_id)
+        t = self.target
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(outs, pa.binary()),
+                "w": pa.array([t] * len(ids), pa.int32()),
+                "h": pa.array([t] * len(ids), pa.int32()),
+            }
+        )
+
+
+class ImageFeatureExtractor:
+    """Actor stage: decode → numeric feature columns (mean/std RGB,
+    edge density, aHash). Fused: pixels never leave the stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mean_r, mean_g, mean_b, std, edges, phash = [], [], [], [], [], [], []
+        for row_id, payload in zip(
+            batch["image_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            rgb = imaging.decode_image(payload).astype(np.float64)
+            ids.append(row_id)
+            mean_r.append(float(rgb[:, :, 0].mean()))
+            mean_g.append(float(rgb[:, :, 1].mean()))
+            mean_b.append(float(rgb[:, :, 2].mean()))
+            std.append(float(rgb.std()))
+            gray = rgb.mean(axis=2)
+            gx = np.abs(np.diff(gray, axis=1)).mean()
+            gy = np.abs(np.diff(gray, axis=0)).mean()
+            edges.append(float(gx + gy))
+            phash.append(imaging.ahash64(rgb.astype(np.uint8)))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "mean_r": pa.array(mean_r),
+                "mean_g": pa.array(mean_g),
+                "mean_b": pa.array(mean_b),
+                "std_rgb": pa.array(std),
+                "edge_density": pa.array(edges),
+                "phash": pa.array(phash, pa.int64()),
+            }
+        )
+
+
+class AudioFeatureExtractor:
+    """Actor stage over (audio_id, bytes, codec): decode → duration /
+    RMS / peak / zero-crossing-rate. Real-codec rows yield a
+    diagnostics-style error column instead of raising (never-throw
+    contract), so one bad row can't kill a 100 TB run."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, dur, rms, peak, zcr, err = [], [], [], [], [], []
+        for row_id, payload, codec in zip(
+            batch["audio_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["codec"].to_pylist(),
+        ):
+            ids.append(row_id)
+            try:
+                pcm, rate = _decode_audio(payload, codec or "")
+                dur.append(len(pcm) / rate if rate else 0.0)
+                rms.append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+                peak.append(float(np.abs(pcm).max()) if len(pcm) else 0.0)
+                zc = np.mean(np.abs(np.diff(np.signbit(pcm)))) if len(pcm) > 1 else 0.0
+                zcr.append(float(zc))
+                err.append(None)
+            except (NotImplementedError, ValueError) as e:
+                dur.append(np.nan)
+                rms.append(np.nan)
+                peak.append(np.nan)
+                zcr.append(np.nan)
+                err.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "audio_id": pa.array(ids, pa.string()),
+                "duration_s": pa.array(dur),
+                "rms": pa.array(rms),
+                "peak": pa.array(peak),
+                "zcr": pa.array(zcr),
+                "error": pa.array(err, pa.string()),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """Actor stage over (video_id, bytes, codec): sample every Nth
+    frame → long table (video_id, frame_index, bytes, w, h)."""
+
+    def __init__(self, every_nth: int = 2):
+        self.every_nth = every_nth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, fidx, payloads, ws, hs, errs = [], [], [], [], [], []
+        for row_id, payload, codec in zip(
+            batch["video_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["codec"].to_pylist(),
+        ):
+            try:
+                frames = _decode_video_frames(payload, codec or "", self.every_nth)
+                for i, f in enumerate(frames):
+                    vids.append(row_id)
+                    fidx.append(i * self.every_nth)
+                    payloads.append(imaging.encode_png(f))
+                    hs.append(f.shape[0])
+                    ws.append(f.shape[1])
+                    errs.append(None)
+            except (NotImplementedError, ValueError) as e:
+                vids.append(row_id)
+                fidx.append(-1)
+                payloads.append(b"")
+                ws.append(0)
+                hs.append(0)
+                errs.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "bytes": pa.array(payloads, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def _block_resize(rgb: np.ndarray, target: int) -> np.ndarray:
+    """Deterministic block-mean resize to target×target (area
+    interpolation; exact for integer-divisible shapes, index-sampled
+    otherwise)."""
+    h, w, _ = rgb.shape
+    if h % target == 0 and w % target == 0:
+        bh, bw = h // target, w // target
+        return (
+            rgb.reshape(target, bh, target, bw, 3).mean(axis=(1, 3)).round()
+        ).astype(np.uint8)
+    yi = (np.arange(target) * h // target).clip(0, h - 1)
+    xi = (np.arange(target) * w // target).clip(0, w - 1)
+    return rgb[np.ix_(yi, xi)]

@@ -859,6 +859,152 @@ def q_doc_fingerprint64(sf_dir: str):
 
 
 
+def q_asof_last_purchase(sf_dir: str):
+    """Per-user AS-OF join: for each event, the timestamp of that
+    user's most recent 'purchase' at or before it (the reference's J1
+    nearest/as-of channel join semantics, channel_mapper.dart:103-156,
+    lifted to the event stream). -1 when none."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64").to_numpy()
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        carried = np.maximum.accumulate(np.where(is_p, ts, np.int64(-1)))
+        return pd.DataFrame({"event_id": df["event_id"], "last_purchase_ts_us": carried})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_ASOF_LAST_PURCHASE = """
+SELECT event_id,
+  CAST(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS BIGINT)
+    AS last_purchase_ts_us
+FROM events
+"""
+
+
+SMOOTH_HALF_WINDOW = 2
+
+
+def q_smooth_value(sf_dir: str):
+    """Centered moving window over each user's value series (the
+    reference's M11 smoothing via prefix sums, raw_editor.dart:616-643)
+    — emitted as exact integer window SUM + COUNT so the oracle
+    hash-matches."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    W = SMOOTH_HALF_WINDOW
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        v = _i100(df["value"].to_numpy())
+        csum = np.concatenate([[0], np.cumsum(v)])
+        n = len(v)
+        i = np.arange(n)
+        lo = np.maximum(i - W, 0)
+        hi = np.minimum(i + W, n - 1)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "win_sum_c": (csum[hi + 1] - csum[lo]).astype(np.int64),
+                "win_n": (hi - lo + 1).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_SMOOTH_VALUE = f"""
+SELECT event_id,
+  CAST(SUM({SQL_I100.format(e='value')}) OVER w AS BIGINT) AS win_sum_c,
+  CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {SMOOTH_HALF_WINDOW} PRECEDING AND {SMOOTH_HALF_WINDOW} FOLLOWING)
+"""
+
+DOWNSAMPLE_BUCKET_S = 300
+
+
+def q_bucket_downsample(sf_dir: str):
+    """Deterministic decimation: FIRST event per (user, 5-min bucket)
+    — the windowed form of the reference's M9 downsampleTime (the
+    sequential keep-next-≥step scan isn't SQL-expressible; the bucket
+    rule is, and shares the keep-first semantics)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    B = DOWNSAMPLE_BUCKET_S * 1_000_000
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64").to_numpy()
+        bucket = ts // B
+        first = np.ones(len(ts), dtype=bool)
+        first[1:] = bucket[1:] != bucket[:-1]
+        out = df[first]
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "bucket": bucket[first],
+                "event_id": out["event_id"],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_BUCKET_DOWNSAMPLE = f"""
+SELECT user_id, bucket, event_id FROM (
+  SELECT user_id, epoch_us(ts) // {DOWNSAMPLE_BUCKET_S * 1_000_000} AS bucket,
+    event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // {DOWNSAMPLE_BUCKET_S * 1_000_000}
+                       ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_join_segment_orders(sf_dir: str):
+    """Both-sides hash join via Dataset.join (orders ⋈ customer on
+    custkey) → orders + revenue per market segment. The broadcast
+    variant is q_region_revenue; this exercises the partitioned-join
+    path the engine uses when neither side is broadcast-small."""
+    import ray.data as rd
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": df["c_mktsegment"],
+                "revenue_c": _i100(df["o_totalprice"].to_numpy()),
+            }
+        )
+
+    return agg.tree_aggregate(
+        joined.map_batches(prep, batch_format="pandas"),
+        ["c_mktsegment"],
+        {"revenue_c": ("revenue_c", "sum"), "n_orders": ("", "count")},
+    )
+
+
+SQL_JOIN_SEGMENT = f"""
+SELECT c_mktsegment,
+  CAST(SUM({SQL_I100.format(e='o_totalprice')}) AS BIGINT) AS revenue_c,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """The headline spatial pipeline (driver smoke check / bench):
     derive trackpoints → vectorized cell encode → broadcast PIP join
@@ -916,4 +1062,8 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "doc_quality": (q_doc_quality, None),
     "doc_fingerprint64": (q_doc_fingerprint64, None),
+    "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "smooth_value": (q_smooth_value, SQL_SMOOTH_VALUE),
+    "bucket_downsample": (q_bucket_downsample, SQL_BUCKET_DOWNSAMPLE),
+    "join_segment_orders": (q_join_segment_orders, SQL_JOIN_SEGMENT),
 }
