@@ -209,6 +209,33 @@ def make_pois(n: int = 200, seed: int = 42) -> pa.Table:
     )
 
 
+def make_region_grid(n_lat: int = 12, n_lon: int = 24, seed: int = 7) -> list[Polygon]:
+    """A world-tiling set of ~n_lat×n_lon seeded convex polygons (the
+    admin-boundary-scale polygon corpus for PIP benchmarks — real
+    region joins test hundreds of polygons, not a handful)."""
+    rng = np.random.default_rng(seed)
+    polys: list[Polygon] = []
+    dlat = 144.0 / n_lat  # cover [-72, 72]
+    dlon = 360.0 / n_lon
+    for i in range(n_lat):
+        for j in range(n_lon):
+            c_lat = -72.0 + (i + 0.5) * dlat
+            c_lon = -180.0 + (j + 0.5) * dlon
+            n_vert = int(rng.integers(5, 9))
+            # evenly-spaced angles with bounded jitter + per-polygon
+            # constant radii → an affine circle → always convex CCW
+            base = np.arange(n_vert) * (2 * np.pi / n_vert)
+            angles = base + rng.uniform(0.05, 0.95, n_vert) * (2 * np.pi / n_vert) * 0.5
+            r_lat = dlat * float(rng.uniform(0.3, 0.45))
+            r_lon = dlon * float(rng.uniform(0.3, 0.45))
+            lat = c_lat + r_lat * np.sin(angles) + 0.0005
+            lon = c_lon + r_lon * np.cos(angles) + 0.0005
+            p = Polygon(f"grid_{i:02d}_{j:02d}", f"cell {i},{j}", lat=lat, lon=lon)
+            if p.is_convex_ccw():
+                polys.append(p)
+    return polys
+
+
 # --- the image+caption input table (BASELINE.json input_hint) ----------------
 
 IMAGES_SCHEMA = pa.schema(

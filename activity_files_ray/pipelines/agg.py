@@ -62,7 +62,7 @@ def tree_aggregate(
     acc: pd.DataFrame | None = None
     pending: list[pd.DataFrame] = []
     pending_rows = 0
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     for b in parts.iter_batches(batch_size=65536, batch_format="pandas"):
         pending.append(b)
         pending_rows += len(b)

@@ -40,7 +40,7 @@ def brute_force_topk(
         top = np.argpartition(-cos, kk - 1)[:kk]
         return pd.DataFrame({id_col: df[id_col].to_numpy()[top], "cos": cos[top]})
 
-    parts = ds.map_batches(batch_topk, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(batch_topk, batch_format="pandas", batch_size=None).to_pandas()
     return (
         parts.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort")
         .head(k)
@@ -107,7 +107,7 @@ def ivf_topk(
         top = np.argpartition(-cos, kk - 1)[:kk]
         return pd.DataFrame({id_col: ids[top], "cos": cos[top]})
 
-    parts = ds.map_batches(batch_probe, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(batch_probe, batch_format="pandas", batch_size=None).to_pandas()
     return (
         parts.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort")
         .head(k)

@@ -195,7 +195,7 @@ def minhash_dedup(
                 rows_key.append(k)
         return pd.DataFrame({"doc_id": rows_id, "band_key": np.asarray(rows_key, dtype=np.int64)})
 
-    buckets = ds.map_batches(sig_batch, batch_format="pandas").to_pandas()
+    buckets = ds.map_batches(sig_batch, batch_format="pandas", batch_size=None).to_pandas()
     pairs = _pairs_from_buckets(buckets)
     if not pairs:
         return (
@@ -236,7 +236,7 @@ def simhash_dedup(
         fps = [simhash64(t) for t in df[text_col].fillna("")]
         return pd.DataFrame({"doc_id": df[id_col], "fp": np.asarray(fps, dtype=np.int64)})
 
-    fps = ds.map_batches(fp_batch, batch_format="pandas").to_pandas()
+    fps = ds.map_batches(fp_batch, batch_format="pandas", batch_size=None).to_pandas()
     width = 64 // bands
     rows = []
     for bnd in range(bands):
@@ -286,7 +286,7 @@ def embedding_near_dup(
             keys |= signs[:, i].astype(np.int64) << i
         return pd.DataFrame({"doc_id": df[id_col], "band_key": keys})
 
-    buckets = ds.map_batches(bucket_batch, batch_format="pandas").to_pandas()
+    buckets = ds.map_batches(bucket_batch, batch_format="pandas", batch_size=None).to_pandas()
     pairs = _pairs_from_buckets(buckets, max_bucket=256)
     cand_ids = sorted({d for p in pairs for d in p})
     if not cand_ids:
@@ -344,7 +344,7 @@ def _fetch_texts(ds, id_col: str, text_col: str, ids: list) -> dict:
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         return df[df[id_col].isin(idset)][[id_col, text_col]]
 
-    got = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    got = ds.map_batches(pick, batch_format="pandas", batch_size=None).to_pandas()
     return dict(zip(got[id_col], got[text_col]))
 
 
@@ -354,7 +354,7 @@ def _fetch_vecs(ds, id_col: str, vec_col: str, ids: list) -> dict:
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         return df[df[id_col].isin(idset)][[id_col, vec_col]]
 
-    got = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    got = ds.map_batches(pick, batch_format="pandas", batch_size=None).to_pandas()
     return {
         i: np.asarray(v, dtype=np.float64) for i, v in zip(got[id_col], got[vec_col])
     }

@@ -158,7 +158,7 @@ def q_pricing_summary(sf_dir: str):
         )
 
     return agg.tree_aggregate(
-        ds.map_batches(prep, batch_format="pandas"),
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
         ["l_returnflag", "l_linestatus"],
         {
             "sum_qty_c": ("sum_qty_c", "sum"),
@@ -216,7 +216,7 @@ def q_region_revenue(sf_dir: str):
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     return agg.tree_aggregate(
-        ds.map_batches(prep, batch_format="pandas"),
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
         ["r_name"],
         {"revenue_c": ("revenue_c", "sum"), "n_orders": ("", "count")},
     )
@@ -250,7 +250,7 @@ def q_top_orders(sf_dir: str):
         )
 
     per_order = agg.tree_aggregate(
-        ds.map_batches(prep, batch_format="pandas"),
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
         ["l_orderkey"],
         {"revenue_c4": ("revenue_c4", "sum")},
     )
@@ -292,7 +292,7 @@ def q_events_hourly(sf_dir: str):
         )
 
     return agg.tree_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow"),
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
         ["event_type", "hour"],
         {"n": ("", "count"), "sum_value_c": ("sum_value_c", "sum")},
     )
@@ -373,7 +373,7 @@ def q_dedup_last_wins(sf_dir: str):
         )
 
     return (
-        ds.map_batches(to_int_ts, batch_format="pyarrow")
+        ds.map_batches(to_int_ts, batch_format="pyarrow", batch_size=None)
         .groupby(["user_id", "ts_us"])
         .aggregate(
             Max("event_id", alias_name="event_id"), Count(alias_name="n_dups")
@@ -412,7 +412,7 @@ def q_time_crop(sf_dir: str):
         )
 
     return agg.tree_aggregate(
-        ds.map_batches(crop_prep, batch_format="pyarrow"),
+        ds.map_batches(crop_prep, batch_format="pyarrow", batch_size=None),
         ["event_type"],
         {"n": ("", "count"), "sum_value_c": ("sum_value_c", "sum")},
     )
@@ -432,7 +432,7 @@ GROUP BY event_type
 # =========================================================================
 
 
-def _derived_points_ds(sf_dir: str, repeat: int = 1, points_path: str | None = None):
+def _derived_points_ds(sf_dir: str, repeat: int = 1, points_path: str | None = None, with_cd: bool = True):
     """Derived trackpoints. ``repeat > 1`` replicates each event into
     ``repeat`` distinct synthetic points INSIDE the kernel (constant
     IO, ×repeat compute). ``points_path`` reads event ids from a
@@ -453,17 +453,17 @@ def _derived_points_ds(sf_dir: str, repeat: int = 1, points_path: str | None = N
                 e[None, :] + (np.arange(repeat, dtype=np.int64) * 10_000_019)[:, None]
             ).ravel()
         lat_cd, lon_cd = event_latlon_cd(e)
-        return pa.table(
-            {
-                "event_id": pa.array(e),
-                "lat_cd": pa.array(lat_cd),
-                "lon_cd": pa.array(lon_cd),
-                "lat": pa.array(lat_cd / 100.0),
-                "lon": pa.array(lon_cd / 100.0),
-            }
-        )
+        cols = {
+            "event_id": pa.array(e),
+            "lat": pa.array(lat_cd / 100.0),
+            "lon": pa.array(lon_cd / 100.0),
+        }
+        if with_cd:
+            cols["lat_cd"] = pa.array(lat_cd)
+            cols["lon_cd"] = pa.array(lon_cd)
+        return pa.table(cols)
 
-    return ds.map_batches(derive, batch_format="pyarrow")
+    return ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
 
 
 _EVENT_LAT_SQL = f"({EVENT_LAT_CD} / 100.0)"
@@ -474,7 +474,8 @@ def q_cell_counts(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """Vectorized lat/lng→cell + per-tile counts with the
     partial-combiner plan (north_rule tile assignment)."""
     enc = _derived_points_ds(sf_dir, repeat, points_path).map_batches(
-        stages.add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": CELL_LEVEL}
+        stages.add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": CELL_LEVEL},
+        batch_size=None,
     )
     return agg.tree_aggregate(
         enc.select_columns(["cell"]), ["cell"], {"n": ("", "count")}
@@ -514,6 +515,7 @@ def q_pip_regions(sf_dir: str):
         stages.pip_join_batch,
         fn_kwargs={"index_ref": idx_ref},
         batch_format="pyarrow",
+        batch_size=None,
     )
     return agg.tree_aggregate(
         joined.select_columns(["region_id"]), ["region_id"], {"n": ("", "count")}
@@ -554,11 +556,12 @@ def q_knn_poi(sf_dir: str, subset_mod: int = KNN_SUBSET_MOD, repeat: int = 1, po
         e = b["event_id"].to_numpy()
         return b.filter(pa.array(e % subset_mod == 0))
 
-    pts = _derived_points_ds(sf_dir, repeat, points_path).map_batches(subset, batch_format="pyarrow")
+    pts = _derived_points_ds(sf_dir, repeat, points_path).map_batches(subset, batch_format="pyarrow", batch_size=None)
     joined = pts.map_batches(
         stages.knn_join_batch,
         fn_kwargs={"index_ref": idx_ref},
         batch_format="pyarrow",
+        batch_size=None,
     )
 
     def int_dist(batch: pa.Table) -> pa.Table:
@@ -575,7 +578,7 @@ def q_knn_poi(sf_dir: str, subset_mod: int = KNN_SUBSET_MOD, repeat: int = 1, po
             }
         )
 
-    return joined.map_batches(int_dist, batch_format="pyarrow")
+    return joined.map_batches(int_dist, batch_format="pyarrow", batch_size=None)
 
 
 SQL_KNN_POI = f"""
@@ -623,7 +626,7 @@ def q_doc_dedup_exact(sf_dir: str):
         )
 
     grouped = agg.tree_aggregate(
-        ds.map_batches(add_hash, batch_format="pandas"),
+        ds.map_batches(add_hash, batch_format="pandas", batch_size=None),
         ["h"],
         {"doc_id": ("doc_id", "min"), "n_copies": ("", "count")},
     )
@@ -650,7 +653,7 @@ def q_doc_token_stats(sf_dir: str):
         )
 
     return agg.tree_aggregate(
-        ds.map_batches(prep, batch_format="pandas"),
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
         ["lang"],
         {
             "n_docs": ("", "count"),
@@ -679,7 +682,7 @@ def q_doc_fingerprint_groups(sf_dir: str):
         )
 
     grouped = agg.tree_aggregate(
-        ds.map_batches(add_fp, batch_format="pandas"),
+        ds.map_batches(add_fp, batch_format="pandas", batch_size=None),
         ["fp"],
         {"doc_id": ("doc_id", "min"), "n_members": ("", "count")},
     )
@@ -703,7 +706,7 @@ def q_lang_id_counts(sf_dir: str):
         return pd.DataFrame({"lang_pred": text.lang_id(df["text"])})
 
     return agg.tree_aggregate(
-        ds.map_batches(prep, batch_format="pandas"),
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
         ["lang_pred"],
         {"n_docs": ("", "count")},
     )
@@ -729,8 +732,9 @@ def q_embed_axis_topk(sf_dir: str):
         )
         return pa.Table.from_pandas(df.head(10), preserve_index=False)
 
-    parts = ds.map_batches(first_comp, batch_format="pyarrow").map_batches(
-        batch_topk, batch_format="pyarrow"
+    parts = ds.map_batches(first_comp, batch_format="pyarrow", batch_size=None).map_batches(
+        batch_topk, batch_format="pyarrow",
+        batch_size=None,
     )
     return (
         parts.to_pandas()
@@ -769,7 +773,7 @@ def q_embed_cosine_topk(sf_dir: str):
         )
 
     return (
-        ds.map_batches(batch_topk, batch_format="pyarrow")
+        ds.map_batches(batch_topk, batch_format="pyarrow", batch_size=None)
         .to_pandas()
         .sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
         .head(10)
@@ -835,7 +839,7 @@ def q_doc_quality(sf_dir: str):
         )
 
     return agg.tree_aggregate(
-        ds.map_batches(prep, batch_format="pandas"), ["bucket"], {"n_docs": ("", "count")}
+        ds.map_batches(prep, batch_format="pandas", batch_size=None), ["bucket"], {"n_docs": ("", "count")}
     )
 
 
@@ -849,7 +853,7 @@ def q_doc_fingerprint64(sf_dir: str):
             {"lang": df["lang"], "fp": text.rolling_fingerprint64(df["text"])}
         )
 
-    fps = ds.map_batches(prep, batch_format="pandas").to_pandas()
+    fps = ds.map_batches(prep, batch_format="pandas", batch_size=None).to_pandas()
     out = fps.groupby("lang", as_index=False).agg(
         n_docs=("fp", "size"), n_distinct=("fp", "nunique")
     )
@@ -990,7 +994,7 @@ def q_join_segment_orders(sf_dir: str):
         )
 
     return agg.tree_aggregate(
-        joined.map_batches(prep, batch_format="pandas"),
+        joined.map_batches(prep, batch_format="pandas", batch_size=None),
         ["c_mktsegment"],
         {"revenue_c": ("revenue_c", "sum"), "n_orders": ("", "count")},
     )
@@ -1015,18 +1019,22 @@ def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = Non
     import ray
 
     idx_ref = ray.put(polygons.PolygonIndex(ORACLE_REGIONS))
-    pts = _derived_points_ds(sf_dir, repeat, points_path)
-    enc = pts.map_batches(
-        stages.add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": CELL_LEVEL}
-    )
-    joined = enc.map_batches(
+    # projection pushdown: the hot path carries only (lat, lon); the
+    # cell id is computed AFTER the join, on the ~6% of rows that
+    # survive it (16x less cell-encode work, less bandwidth)
+    pts = _derived_points_ds(sf_dir, repeat, points_path, with_cd=False)
+    joined = pts.map_batches(
         stages.pip_join_batch,
         fn_kwargs={"index_ref": idx_ref},
         batch_format="pyarrow",
+        batch_size=None,
     )
-
+    enc = joined.map_batches(
+        stages.add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": CELL_LEVEL},
+        batch_size=None,
+    )
     return agg.tree_aggregate(
-        joined.select_columns(["region_id", "cell"]),
+        enc.select_columns(["region_id", "cell"]),
         ["region_id", "cell"],
         {"n": ("", "count")},
     )

@@ -1,7 +1,7 @@
 """Ray Data stages of the spatial core.
 
 Each stage is a batch kernel usable with
-``ds.map_batches(..., batch_format="pyarrow")``. Broadcast-state
+``ds.map_batches(..., batch_format="pyarrow", batch_size=None)``. Broadcast-state
 stages come in two equivalent forms:
 
 * plain FUNCTIONS (``pip_join_batch`` / ``knn_join_batch``) taking the
@@ -337,11 +337,13 @@ def tile_counts(points_ds, level: int = cells.LEVEL_TILE, weight_col: str | None
     from ray.data.aggregate import Sum
 
     enc = points_ds.map_batches(
-        add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": level}
+        add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": level},
+        batch_size=None,
     )
     partial = enc.map_batches(
         partial_counts,
         batch_format="pyarrow",
         fn_kwargs={"key_col": "cell", "weight_col": weight_col},
+        batch_size=None,
     )
     return partial.groupby("cell").aggregate(Sum("n", alias_name="n"))

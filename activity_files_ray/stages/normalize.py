@@ -297,3 +297,47 @@ def normalize_points(ds):
     return ds.groupby("activity_id").map_groups(
         normalize_points_group, batch_format="pandas"
     )
+
+
+def largest_contiguous_group(
+    df: pd.DataFrame,
+    max_gap_s: float = 24 * 3600,
+    max_endpoint_km: float = 100.0,
+) -> pd.DataFrame:
+    """O4: keep the largest time-contiguous point cluster (gaps above
+    ``max_gap_s`` split clusters), then drop endpoint outliers more
+    than ``max_endpoint_km`` from their neighbor — the reference's FIT
+    recovery filter (fit_parser.dart:1252-1332 semantics: corrupt
+    timestamps / GPS spikes isolate into small clusters or endpoint
+    jumps; an anti-join against those keeps the real ride)."""
+    if len(df) < 2:
+        return df
+    df = df.sort_values("ts_us", kind="mergesort").reset_index(drop=True)
+    ts = df["ts_us"].to_numpy(np.int64)
+    gap_us = int(max_gap_s * 1e6)
+    starts = np.concatenate([[0], np.nonzero(np.diff(ts) > gap_us)[0] + 1])
+    ends = np.concatenate([starts[1:], [len(ts)]])
+    sizes = ends - starts
+    k = int(np.argmax(sizes))
+    out = df.iloc[starts[k] : ends[k]].reset_index(drop=True)
+    # endpoint outlier trim: drop first/last while they jump too far
+    max_m = max_endpoint_km * 1000.0
+    while len(out) >= 2:
+        d = geo.haversine_m(
+            np.asarray([out["lat"].iloc[0]]), np.asarray([out["lon"].iloc[0]]),
+            np.asarray([out["lat"].iloc[1]]), np.asarray([out["lon"].iloc[1]]),
+        )[0]
+        if d <= max_m:
+            break
+        out = out.iloc[1:].reset_index(drop=True)
+    while len(out) >= 2:
+        d = geo.haversine_m(
+            np.asarray([out["lat"].iloc[-1]]), np.asarray([out["lon"].iloc[-1]]),
+            np.asarray([out["lat"].iloc[-2]]), np.asarray([out["lon"].iloc[-2]]),
+        )[0]
+        if d <= max_m:
+            break
+        out = out.iloc[:-1].reset_index(drop=True)
+    if "seq" in out.columns:
+        out["seq"] = np.arange(len(out), dtype=np.int32)
+    return out

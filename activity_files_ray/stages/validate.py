@@ -176,3 +176,31 @@ def diagnostics_summary(diags_ds):
     from ray.data.aggregate import Count
 
     return diags_ds.groupby("severity").aggregate(Count(alias_name="n"))
+
+
+# V6: device metadata checks (validation.dart:564-646)
+FIT_ID_MIN, FIT_ID_MAX = 1, 65534
+
+
+def validate_device(device: dict, activity_id: str = "") -> pd.DataFrame:
+    """V6: blank fields, FIT id ranges (1-65534), name<->id mismatch
+    against the public manufacturer subset."""
+    rows: list = []
+    known = {1: "garmin", 255: "development", 263: "wahoo_fitness",
+             32: "suunto", 71: "polar"}
+    for key in ("manufacturer", "model", "product"):
+        val = device.get(key)
+        if val is not None and str(val).strip() == "":
+            _diag(rows, activity_id, "warning", f"validation.device.blank_{key}",
+                  f"{key} is blank", "device")
+    for key in ("fit_manufacturer_id", "fit_product_id"):
+        val = device.get(key)
+        if val is not None and not (FIT_ID_MIN <= int(val) <= FIT_ID_MAX):
+            _diag(rows, activity_id, "error", f"validation.device.{key}_range",
+                  f"{key}={val} outside [{FIT_ID_MIN},{FIT_ID_MAX}]", "device")
+    man, mid = device.get("manufacturer"), device.get("fit_manufacturer_id")
+    if man and mid is not None and int(mid) in known:
+        if str(man).strip().lower() != known[int(mid)]:
+            _diag(rows, activity_id, "warning", "validation.device.name_id_mismatch",
+                  f"manufacturer {man!r} != id {mid} ({known[int(mid)]})", "device")
+    return pd.DataFrame(rows, columns=DIAG_COLUMNS)

@@ -237,3 +237,54 @@ class TestDatasetWrappers:
         assert a["ts_us"].tolist() == [20]
         b = out[out.activity_id == "b"]
         assert np.isnan(b["ele"].iloc[0])
+
+
+class TestLargestContiguousGroup:
+    def test_keeps_biggest_cluster_and_trims_endpoint_spike(self):
+        df = pd.DataFrame(
+            {
+                "activity_id": "a",
+                "seq": np.arange(6, dtype=np.int32),
+                "ts_us": np.array(
+                    [0] + [200 * 86400 * 10**6 + i * 5_000_000 for i in range(5)],
+                    dtype=np.int64,
+                ),
+                "lat": [10.0, 40.0, 40.001, 40.002, 40.003, 85.0],
+                "lon": [10.0, -105.0, -105.0, -105.0, -105.0, 100.0],
+                "ele": 0.0,
+            }
+        )
+        out = nz.largest_contiguous_group(df)
+        # stray ancient point dropped (cluster split), endpoint GPS
+        # spike (>100km jump) trimmed
+        assert out["lat"].tolist() == [40.0, 40.001, 40.002, 40.003]
+        assert out["seq"].tolist() == [0, 1, 2, 3]
+
+    def test_clean_track_untouched(self):
+        df = pd.DataFrame(
+            {
+                "activity_id": "a",
+                "seq": np.arange(3, dtype=np.int32),
+                "ts_us": np.array([0, 5_000_000, 10_000_000], dtype=np.int64),
+                "lat": [40.0, 40.001, 40.002],
+                "lon": [-105.0, -105.0, -105.0],
+                "ele": 0.0,
+            }
+        )
+        out = nz.largest_contiguous_group(df)
+        assert len(out) == 3
+
+
+class TestDeviceValidation:
+    def test_clean(self):
+        assert len(vd.validate_device({"manufacturer": "garmin", "fit_manufacturer_id": 1})) == 0
+
+    def test_violations(self):
+        d = vd.validate_device(
+            {"manufacturer": "acme", "fit_manufacturer_id": 1,
+             "fit_product_id": 0, "model": " "}
+        )
+        codes = set(d["code"])
+        assert "validation.device.blank_model" in codes
+        assert "validation.device.fit_product_id_range" in codes
+        assert "validation.device.name_id_mismatch" in codes
