@@ -104,8 +104,7 @@ def convert_one(
         to_fmt,
         fixed,
         channels if len(channels) else None,
-        **({"spans": spans, "sport": parsed.sport} if to_fmt == "tcx" else
-           {"sport": parsed.sport} if to_fmt == "fit" else {}),
+        **({"spans": spans, "sport": parsed.sport} if to_fmt in ("tcx", "fit") else {}),
     )
     dd = pd.concat([d for d in diags if len(d)], ignore_index=True) if any(
         len(d) for d in diags

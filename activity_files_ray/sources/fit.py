@@ -336,6 +336,7 @@ def encode_fit(
     channels: pd.DataFrame | None = None,
     sport: str | None = None,
     manufacturer_id: int = 255,  # 'development'
+    spans: pd.DataFrame | None = None,
 ) -> bytes:
     """points + channels → FIT bytes (file_id + record stream +
     session + CRC). Channels are joined per exact record timestamp;
@@ -402,6 +403,38 @@ def encode_fit(
         body += struct.pack(
             "<b", 0x7F if tmp is None else max(-127, min(126, int(round(tmp))))
         )
+    # lap messages (local 3) + event messages (local 4) from spans
+    if spans is not None and len(spans):
+        laps = spans[spans["kind"] == "lap"] if "kind" in spans.columns else spans
+        if len(laps):
+            # lap def: start_time(2) u32, total_elapsed(7) u32 ms,
+            # total_distance(9) u32 cm, sport(25) enum
+            body += bytes([0x43, 0, 0, 19, 0, 4, 2, 4, 0x86, 7, 4, 0x86,
+                           9, 4, 0x86, 25, 1, 0x00])
+            for _, r in laps.iterrows():
+                s_us, e_us = int(r["start_us"]), int(r["end_us"])
+                body += bytes([0x03])
+                body += struct.pack("<I", ((s_us - FIT_EPOCH_US) // 1_000_000) & 0xFFFFFFFF)
+                body += struct.pack("<I", ((e_us - s_us) // 1000) & 0xFFFFFFFF)
+                dist = r.get("dist_m")
+                body += struct.pack(
+                    "<I",
+                    0xFFFFFFFF
+                    if dist is None or not np.isfinite(dist)
+                    else int(round(float(dist) * 100)) & 0xFFFFFFFF,
+                )
+                sp = r.get("sport")
+                body += bytes([_SPORT_TO_ENUM.get(sp if isinstance(sp, str) else "", 0)])
+        events = spans[spans["kind"] == "event"] if "kind" in spans.columns else spans.iloc[0:0]
+        if len(events):
+            # event def: timestamp(253) u32, event(0) enum, event_type(1) enum
+            body += bytes([0x44, 0, 0, 21, 0, 3, 253, 4, 0x86, 0, 1, 0x00, 1, 1, 0x00])
+            for _, r in events.iterrows():
+                body += bytes([0x04])
+                body += struct.pack(
+                    "<I", ((int(r["start_us"]) - FIT_EPOCH_US) // 1_000_000) & 0xFFFFFFFF
+                )
+                body += bytes([0, 0])  # timer start
     # session definition (local 2): start_time(2) u32, total_elapsed(7)
     # u32 ms, total_distance(9) u32 cm, sport(5) enum
     body += bytes([0x42, 0, 0, 18, 0, 4, 2, 4, 0x86, 7, 4, 0x86, 9, 4, 0x86, 5, 1, 0x00])

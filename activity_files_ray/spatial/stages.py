@@ -347,3 +347,25 @@ def tile_counts(points_ds, level: int = cells.LEVEL_TILE, weight_col: str | None
         batch_size=None,
     )
     return partial.groupby("cell").aggregate(Sum("n", alias_name="n"))
+
+
+def probe_salt_factor(
+    ds, key_col: str, hot_threshold: float = 0.05, max_salt: int = 64
+) -> int:
+    """Choose the salting factor from a cheap count probe (SURVEY.md
+    §4.2: "choose S from a cheap groupby(cell9).count() probe"): if
+    the hottest key holds more than ``hot_threshold`` of all rows,
+    salt it into ~hot_share/threshold sub-keys (clamped)."""
+    from ..pipelines import agg
+
+    counts = agg.tree_aggregate(
+        ds.select_columns([key_col]), [key_col], {"n": ("", "count")}
+    )
+    if counts.empty:
+        return 1
+    total = int(counts["n"].sum())
+    hot = int(counts["n"].max())
+    share = hot / max(total, 1)
+    if share <= hot_threshold:
+        return 1
+    return int(min(max_salt, max(2, round(share / hot_threshold))))

@@ -284,3 +284,28 @@ class TestParseStageOnRay:
         ).to_pandas()
         assert len(acts) == 6
         assert acts.set_index("activity_id").loc["g1", "n_points"] == 3
+
+
+class TestFitSpans:
+    def test_lap_and_event_roundtrip(self):
+        pts, ch = canonical_points(), canonical_channels()
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"] * 2,
+                "kind": ["lap", "event"],
+                "start_us": [int(pts["ts_us"].iloc[0])] * 2,
+                "end_us": [int(pts["ts_us"].iloc[2]), int(pts["ts_us"].iloc[0])],
+                "sport": ["cycling", None],
+                "dist_m": [150.0, np.nan],
+            }
+        )
+        payload = fit_mod.encode_fit(pts, ch, sport="cycling", spans=spans)
+        parsed = fit_mod.parse_fit(payload, "a1")
+        assert not [d for d in parsed.diags if d[0] == "error"]
+        sdf = parsed.spans_df()
+        kinds = sorted(sdf["kind"])
+        assert kinds == ["event", "lap", "session"]
+        lap = sdf[sdf["kind"] == "lap"].iloc[0]
+        assert lap["dist_m"] == pytest.approx(150.0, abs=0.01)
+        assert lap["sport"] == "cycling"
+        assert int(lap["end_us"] - lap["start_us"]) == 10_000_000

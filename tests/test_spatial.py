@@ -172,3 +172,21 @@ class TestStagesOnRay:
         merged = final.merge(plain, on="cell", suffixes=("_salted", "_plain"))
         assert len(merged) == len(plain)
         np.testing.assert_allclose(merged["s_salted"], merged["s_plain"], rtol=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltProbe:
+    def test_uniform_keys_no_salt(self):
+        import ray.data as rd
+
+        t = pa.table({"k": pa.array(np.arange(1000, dtype=np.int64) % 100)})
+        assert stages.probe_salt_factor(rd.from_arrow(t), "k") == 1
+
+    def test_hot_key_salted(self):
+        import ray.data as rd
+
+        keys = np.concatenate([np.zeros(500, dtype=np.int64),
+                               np.arange(1, 501, dtype=np.int64)])
+        t = pa.table({"k": pa.array(keys)})
+        s = stages.probe_salt_factor(rd.from_arrow(t), "k")
+        assert s >= 8  # hot key holds 50% of rows -> strong salting
