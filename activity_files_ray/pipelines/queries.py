@@ -1009,6 +1009,62 @@ GROUP BY c_mktsegment
 """
 
 
+def q_session_containment(sf_dir: str):
+    """Containment join (reference J3 lap→points, tcx_encoder.dart:
+    187-191): assign each event its user-session ordinal, where
+    sessions split on >30-min gaps — the span-containment shape as a
+    window computation."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    GAP = 1_800_000_000
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64").to_numpy()
+        gap = np.diff(ts, prepend=ts[0] - GAP - 1) if len(ts) else np.array([])
+        session_ord = np.cumsum(gap > GAP).astype(np.int64)
+        return pd.DataFrame({"event_id": df["event_id"], "session_ord": session_ord})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_SESSION_CONTAINMENT = """
+SELECT event_id,
+  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_ord
+FROM (
+  SELECT user_id, ts, event_id,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+"""
+
+
+def q_convert_matrix(sf_dir: str):
+    """End-to-end parse/convert engine smoke as a driver query
+    (rows-only): canonical fixture → every format → parse → point
+    count + diagnostics count per format. Exercises all 5 parser and
+    encoder kernels under the driver's Ray session."""
+    import pandas as _pd
+
+    from .. import fixtures
+    from ..sources import stage as src_stage
+
+    pts = fixtures.canonical_trackpoints().to_pandas()
+    pts["ts_us"] = pts["ts_us"].astype("int64")
+    ch = fixtures.canonical_channels().to_pandas().astype({"channel": str})
+    ch["ts_us"] = ch["ts_us"].astype("int64")
+    rows = []
+    for fmt in ("gpx", "tcx", "csv", "geojson", "fit"):
+        payload = src_stage.encode_activity(fmt, pts, ch)
+        parsed = src_stage.parse_payload(payload, f"m_{fmt}", fmt)
+        rows.append(
+            (fmt, len(parsed.ts_us), len(parsed.ch_ts_us),
+             sum(1 for d in parsed.diags if d[0] == "error"))
+        )
+    return _pd.DataFrame(rows, columns=["fmt", "n_points", "n_samples", "n_errors"])
+
+
 def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """The headline spatial pipeline (driver smoke check / bench):
     derive trackpoints → vectorized cell encode → broadcast PIP join
@@ -1074,4 +1130,6 @@ QUERIES: dict[str, tuple] = {
     "smooth_value": (q_smooth_value, SQL_SMOOTH_VALUE),
     "bucket_downsample": (q_bucket_downsample, SQL_BUCKET_DOWNSAMPLE),
     "join_segment_orders": (q_join_segment_orders, SQL_JOIN_SEGMENT),
+    "session_containment": (q_session_containment, SQL_SESSION_CONTAINMENT),
+    "convert_matrix": (q_convert_matrix, None),
 }

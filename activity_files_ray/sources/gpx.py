@@ -75,8 +75,12 @@ def parse_gpx(data: bytes, activity_id: str) -> ParsedActivity:
                     out.metadata["time"] = m.text
         elif loc == "wpt":
             out.n_waypoints += 1
+            wp = _parse_simple_point(child)
+            if wp is not None:
+                out.waypoints.append(wp)
         elif loc == "rte":
             out.n_routes += 1
+            out.routes.append(_parse_rte(child))
         elif loc == "trk":
             _parse_trk(child, out)
     if out.sport is None and out.name:
@@ -164,6 +168,42 @@ def _collect_ext(node, acc: list) -> None:
             _collect_ext(c, acc)
 
 
+def _parse_simple_point(node) -> dict | None:
+    """wpt / rtept: lat/lon attrs + optional ele/time/name children."""
+    lat_s, lon_s = node.get("lat"), node.get("lon")
+    try:
+        pt: dict = {"lat": float(lat_s), "lon": float(lon_s)}
+    except (TypeError, ValueError):
+        return None
+    for c in node:
+        loc = _local(c.tag)
+        if loc == "ele" and c.text:
+            try:
+                pt["ele"] = float(c.text)
+            except ValueError:
+                pass
+        elif loc == "time" and c.text:
+            ts = iso_to_us(c.text)
+            if ts is not None:
+                pt["time_us"] = ts
+        elif loc == "name" and c.text:
+            pt["name"] = c.text
+    return pt
+
+
+def _parse_rte(node) -> dict:
+    route: dict = {"points": []}
+    for c in node:
+        loc = _local(c.tag)
+        if loc == "name" and c.text:
+            route["name"] = c.text
+        elif loc == "rtept":
+            pt = _parse_simple_point(c)
+            if pt is not None:
+                route["points"].append(pt)
+    return route
+
+
 # --- encoder -----------------------------------------------------------------
 
 GPX_NS = "http://www.topografix.com/GPX/1/1"
@@ -204,6 +244,8 @@ def encode_gpx(
     creator: str = "activity_files_ray",
     segment_starts: list[int] | None = None,
     tolerance_us: int = DEFAULT_TOLERANCE_US,
+    waypoints: list | None = None,
+    routes: list | None = None,
 ) -> bytes:
     """points (sorted by ts_us) + long-form channels → GPX 1.1 bytes.
 
@@ -225,8 +267,30 @@ def encode_gpx(
     parts = [
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         f'<gpx version="1.1" creator="{_esc(creator)}" xmlns="{GPX_NS}" '
-        f'xmlns:gpxtpx="{TPX_NS}">\n<trk>\n'
+        f'xmlns:gpxtpx="{TPX_NS}">\n'
     ]
+    wpt_parts = []
+    for wp in waypoints or []:
+        wpt_parts.append(f'<wpt lat="{wp["lat"]:.7f}" lon="{wp["lon"]:.7f}">')
+        if wp.get("ele") is not None:
+            wpt_parts.append(f"<ele>{wp['ele']:.2f}</ele>")
+        if wp.get("time_us") is not None:
+            wpt_parts.append(f"<time>{us_to_iso(int(wp['time_us']))}</time>")
+        if wp.get("name"):
+            wpt_parts.append(f"<name>{_esc(wp['name'])}</name>")
+        wpt_parts.append("</wpt>\n")
+    for rt in routes or []:
+        wpt_parts.append("<rte>")
+        if rt.get("name"):
+            wpt_parts.append(f"<name>{_esc(rt['name'])}</name>")
+        for rp in rt.get("points", []):
+            wpt_parts.append(f'<rtept lat="{rp["lat"]:.7f}" lon="{rp["lon"]:.7f}">')
+            if rp.get("ele") is not None:
+                wpt_parts.append(f"<ele>{rp['ele']:.2f}</ele>")
+            wpt_parts.append("</rtept>")
+        wpt_parts.append("</rte>\n")
+    parts.extend(wpt_parts)
+    parts.append("<trk>\n")
     if name:
         parts.append(f"<name>{_esc(name)}</name>\n")
     bounds = segs + [ts.size]

@@ -69,6 +69,10 @@ class ParsedActivity:
     metadata: dict = field(default_factory=dict)
     n_waypoints: int = 0
     n_routes: int = 0
+    # lossless GPX extras: waypoints [{lat, lon, ele?, time_us?, name?}],
+    # routes [{name?, points: [{lat, lon, ele?}]}] (models.dart:324-353)
+    waypoints: list = field(default_factory=list)
+    routes: list = field(default_factory=list)
     # diagnostics: (severity, code, message, path)
     diags: list = field(default_factory=list)
 

@@ -309,3 +309,41 @@ class TestFitSpans:
         assert lap["dist_m"] == pytest.approx(150.0, abs=0.01)
         assert lap["sport"] == "cycling"
         assert int(lap["end_us"] - lap["start_us"]) == 10_000_000
+
+
+class TestGpxWaypointsRoutes:
+    def test_lossless_roundtrip(self):
+        pts = canonical_points()
+        wps = [
+            {"lat": 40.1, "lon": -105.2, "ele": 1700.0,
+             "time_us": 1711951200000000, "name": "summit"},
+            {"lat": 39.9, "lon": -104.9},
+        ]
+        routes = [
+            {"name": "home loop", "points": [
+                {"lat": 40.0, "lon": -105.0, "ele": 1600.0},
+                {"lat": 40.01, "lon": -105.01},
+            ]},
+        ]
+        p1 = gpx.encode_gpx(pts, None, waypoints=wps, routes=routes)
+        parsed = gpx.parse_gpx(p1, "a1")
+        assert parsed.n_waypoints == 2 and parsed.n_routes == 1
+        assert parsed.waypoints[0]["name"] == "summit"
+        assert parsed.waypoints[0]["ele"] == 1700.0
+        assert parsed.routes[0]["name"] == "home loop"
+        assert len(parsed.routes[0]["points"]) == 2
+        # byte-stable second round trip (lossless preservation)
+        p2 = gpx.encode_gpx(
+            parsed.points_df(), None,
+            waypoints=parsed.waypoints, routes=parsed.routes,
+        )
+        assert p1 == p2
+
+    def test_reference_gpx_waypoints_preserved(self):
+        import os
+        path = "/root/reference/example/assets/sample.gpx"
+        if not os.path.exists(path):
+            pytest.skip("no reference assets")
+        parsed = gpx.parse_gpx(open(path, "rb").read(), "ref")
+        assert parsed.n_waypoints == len(parsed.waypoints)
+        assert parsed.n_routes == len(parsed.routes)
