@@ -81,6 +81,8 @@ def _convert_dir(args) -> int:
     os.makedirs(args.output, exist_ok=True)
     n = 0
     for row in encoded.iter_rows():
+        if not row["bytes"]:  # unparseable payload → no output file
+            continue
         out = os.path.join(args.output, f"{row['activity_id']}.{args.to}")
         with open(out, "wb") as f:
             f.write(row["bytes"])

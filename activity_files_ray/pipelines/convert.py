@@ -32,37 +32,73 @@ def convert_corpus(
 ):
     """payloads Dataset → (encoded Dataset, diagnostics Dataset).
 
-    ``encoded``: (activity_id, fmt, bytes); ``diagnostics``: the
-    union of parse + validation diagnostics.
+    ``encoded``: (activity_id, fmt, bytes, n_errors); ``diagnostics``:
+    parse (+validation) diagnostics.
+
+    SHUFFLE-FREE: one payload row IS one activity (SURVEY §3.3 —
+    activities are embarrassingly parallel), so the whole
+    parse→normalize→autofix→validate→encode chain runs inside a
+    single ``map_batches`` kernel per row. An earlier version ran
+    three ``groupby("activity_id")`` stages and paid three pointless
+    sort shuffles (~7× slower). Use :func:`convert_points_corpus` for
+    inputs where one activity's points span multiple rows.
     """
-    points = payloads_ds.map_batches(
-        src_stage.parse_batch, batch_format="pyarrow", fn_kwargs={"output": "points"}
-    )
-    parse_diags = payloads_ds.map_batches(
+    opt = autofix or af.AutoFixOptions()
+
+    def conv(df: pd.DataFrame) -> pd.DataFrame:
+        ids, fmts, payloads, n_errs = [], [], [], []
+        fmts_in = df["fmt"] if "fmt" in df.columns else [None] * len(df)
+        for aid, data, f in zip(df["activity_id"], df["bytes"], fmts_in):
+            try:
+                payload, dd = convert_one(data, to_fmt, str(aid), f, opt)
+                n_err = int((dd["severity"] == "error").sum()) if len(dd) else 0
+            except Exception as e:  # noqa: BLE001 — never-throw contract
+                payload, n_err = b"", 1
+                _ = e
+            ids.append(aid)
+            fmts.append(to_fmt)
+            payloads.append(payload)
+            n_errs.append(n_err)
+        return pd.DataFrame(
+            {"activity_id": ids, "fmt": fmts, "bytes": payloads, "n_errors": n_errs}
+        )
+
+    encoded = payloads_ds.map_batches(conv, batch_format="pandas", batch_size=None)
+    diags = payloads_ds.map_batches(
         src_stage.parse_batch,
         batch_format="pyarrow",
         fn_kwargs={"output": "diagnostics"},
+        batch_size=None,
     )
-    opt = autofix or af.AutoFixOptions()
-
-    def fix_group(df: pd.DataFrame) -> pd.DataFrame:
-        return af.autofix_group(df, opt)
-
-    fixed = points.groupby("activity_id").map_groups(fix_group, batch_format="pandas")
-    diags = parse_diags
     if validate:
-        val_diags = fixed.groupby("activity_id").map_groups(
-            vd.validate_points_group, batch_format="pandas"
-        )
-        diags = diags.union(val_diags)
+        def val_batch(df: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            fmts_in = df["fmt"] if "fmt" in df.columns else [None] * len(df)
+            for aid, data, f in zip(df["activity_id"], df["bytes"], fmts_in):
+                pts = src_stage.parse_payload(data, str(aid), f).points_df()
+                if len(pts):
+                    frames.append(vd.validate_points_group(pts))
+            if not frames:
+                return pd.DataFrame(columns=vd.DIAG_COLUMNS)
+            return pd.concat(frames, ignore_index=True)
 
+        val = payloads_ds.map_batches(
+            val_batch, batch_format="pandas", batch_size=None
+        )
+        diags = diags.union(val)
+    return encoded, diags
+
+
+def convert_points_corpus(points_ds, to_fmt: str):
+    """Encode from an already-parsed points table where one activity
+    spans multiple rows — HERE the per-activity groupby is genuinely
+    required (encoders need the whole ordered track)."""
     def enc_group(df: pd.DataFrame) -> pd.DataFrame:
         return src_stage.encode_group(df, to_fmt)
 
-    encoded = fixed.groupby("activity_id").map_groups(
+    return points_ds.groupby("activity_id").map_groups(
         enc_group, batch_format="pandas"
     )
-    return encoded, diags
 
 
 def convert_one(
@@ -78,6 +114,10 @@ def convert_one(
     no Ray session required."""
     parsed = src_stage.parse_payload(data, activity_id, fmt)
     pts = parsed.points_df()
+    if not len(pts) and any(d[0] == "error" for d in parsed.diags):
+        # unparseable payload: no output document (the reference's
+        # convert errors out rather than emitting an empty skeleton)
+        return b"", parsed.diags_df()
     opt = autofix or af.AutoFixOptions()
     fixed = af.autofix_group(pts, opt) if len(pts) else pts
     diags = [parsed.diags_df()]

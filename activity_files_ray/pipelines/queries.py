@@ -1065,6 +1065,93 @@ def q_convert_matrix(sf_dir: str):
     return _pd.DataFrame(rows, columns=["fmt", "n_points", "n_samples", "n_errors"])
 
 
+def q_users_no_purchase(sf_dir: str):
+    """ANTI-join shape (reference: _filterContiguousPoints anti-join,
+    SURVEY §2.4): users with events but zero purchases."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "n_purchases": (df["event_type"] == "purchase").to_numpy(np.int64),
+            }
+        )
+
+    per_user = agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
+        ["user_id"],
+        {"n_events": ("", "count"), "n_purchases": ("n_purchases", "sum")},
+    )
+    out = per_user[per_user["n_purchases"] == 0][["user_id", "n_events"]]
+    return out.reset_index(drop=True)
+
+
+SQL_USERS_NO_PURCHASE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0
+"""
+
+
+def q_type_value_extremes(sf_dir: str):
+    """Per-type min/max/count with exact integerized values (A8
+    min/max window pattern)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "v_c": _i100(df["value"].to_numpy())}
+        )
+
+    return agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
+        ["event_type"],
+        {
+            "min_value_c": ("v_c", "min"),
+            "max_value_c": ("v_c", "max"),
+            "n": ("", "count"),
+        },
+    )
+
+
+SQL_TYPE_VALUE_EXTREMES = f"""
+SELECT event_type,
+  CAST(MIN({SQL_I100.format(e='value')}) AS BIGINT) AS min_value_c,
+  CAST(MAX({SQL_I100.format(e='value')}) AS BIGINT) AS max_value_c,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_order_status_priority(sf_dir: str):
+    """Two-key categorical groupby over orders (counts + exact sums)."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "o_orderpriority": df["o_orderpriority"],
+                "total_c": _i100(df["o_totalprice"].to_numpy()),
+            }
+        )
+
+    return agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("", "count"), "total_c": ("total_c", "sum")},
+    )
+
+
+SQL_ORDER_STATUS_PRIORITY = f"""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM({SQL_I100.format(e='o_totalprice')}) AS BIGINT) AS total_c
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """The headline spatial pipeline (driver smoke check / bench):
     derive trackpoints → vectorized cell encode → broadcast PIP join
@@ -1132,4 +1219,7 @@ QUERIES: dict[str, tuple] = {
     "join_segment_orders": (q_join_segment_orders, SQL_JOIN_SEGMENT),
     "session_containment": (q_session_containment, SQL_SESSION_CONTAINMENT),
     "convert_matrix": (q_convert_matrix, None),
+    "users_no_purchase": (q_users_no_purchase, SQL_USERS_NO_PURCHASE),
+    "type_value_extremes": (q_type_value_extremes, SQL_TYPE_VALUE_EXTREMES),
+    "order_status_priority": (q_order_status_priority, SQL_ORDER_STATUS_PRIORITY),
 }

@@ -120,6 +120,52 @@ def run_bench() -> dict:
         q._warm, batch_format="pyarrow", batch_size=1
     ).count()
 
+    def _ensure_payloads() -> str:
+        """Cached corpus of GPX payloads for the convert-pipeline
+        throughput number (the reference's own workload shape)."""
+        import numpy as np
+        import pyarrow as pa2
+        import pyarrow.parquet as pq2
+
+        n_payloads = 2000
+        path = f"/tmp/afr_bench_payloads_{n_payloads}"
+        done = os.path.join(path, "_SUCCESS")
+        if not os.path.exists(done):
+            from activity_files_ray import fixtures
+            from activity_files_ray.sources import gpx as gpx_mod
+
+            os.makedirs(path, exist_ok=True)
+            tp = fixtures.make_trackpoints(50, 100, seed=11).to_pandas()
+            tp["ts_us"] = tp["ts_us"].astype("int64")
+            base = {
+                aid: gpx_mod.encode_gpx(g.reset_index(drop=True), None)
+                for aid, g in tp.groupby("activity_id")
+            }
+            payloads = [base[k] for k in sorted(base)] * (n_payloads // len(base))
+            per_file = 100
+            for i in range(0, len(payloads), per_file):
+                chunk = payloads[i : i + per_file]
+                pq2.write_table(
+                    pa2.table(
+                        {
+                            "activity_id": pa2.array(
+                                [f"a{i + j:06d}" for j in range(len(chunk))]
+                            ),
+                            "bytes": pa2.array(chunk, pa2.binary()),
+                        }
+                    ),
+                    f"{path}/part-{i // per_file:05d}.parquet",
+                )
+            open(done, "w").close()
+        return path
+
+    def bench_convert_corpus():
+        from activity_files_ray.pipelines import convert as cv
+
+        ds = rd.read_parquet(_ensure_payloads())
+        encoded, _diags = cv.convert_corpus(ds, "geojson", validate=False)
+        return encoded.count()
+
     def bench_raster_tiling():
         from ray.data.aggregate import Sum
 
@@ -216,6 +262,7 @@ def run_bench() -> dict:
             "cell_counts": lambda: q.q_cell_counts(SF_DIR),
             "knn_poi": lambda: q.q_knn_poi(SF_DIR),
             "raster_tiling": bench_raster_tiling,
+            "convert_corpus": bench_convert_corpus,
             "pricing_summary": lambda: q.q_pricing_summary(SF_DIR),
             "events_hourly": lambda: q.q_events_hourly(SF_DIR),
             "doc_token_stats": lambda: q.q_doc_token_stats(SF_DIR),
@@ -227,6 +274,7 @@ def run_bench() -> dict:
             "cell_counts": n_events,
             "knn_poi": n_events // q.KNN_SUBSET_MOD,
             "raster_tiling": N_BENCH_IMAGES,
+            "convert_corpus": 2000,
             "pricing_summary": n_lineitem,
             "events_hourly": n_events,
             "doc_token_stats": pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows,
