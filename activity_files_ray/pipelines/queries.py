@@ -1152,6 +1152,76 @@ FROM orders GROUP BY o_orderstatus, o_orderpriority
 """
 
 
+KNN_K = 3
+
+
+def q_knn3_poi(sf_dir: str):
+    """k-nearest (k=3) POI join via disk expansion — long form with
+    rank; exact-integer distances for the ROW_NUMBER oracle."""
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)
+    plat_cd, plon_cd = poi_latlon_cd(pk)
+    index = knn.PoiIndex(pk, plat_cd / 100.0, plon_cd / 100.0, level=POI_INDEX_LEVEL)
+    idx_ref = ray.put(index)
+    order = np.argsort(pk)
+    pk_s, plat_s, plon_s = pk[order], plat_cd[order], plon_cd[order]
+
+    def subset(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy()
+        return b.filter(pa.array(e % KNN_SUBSET_MOD == 0))
+
+    pts = _derived_points_ds(sf_dir).map_batches(
+        subset, batch_format="pyarrow", batch_size=None
+    )
+    joined = pts.map_batches(
+        stages.knn_k_join_batch,
+        fn_kwargs={"index_ref": idx_ref, "k": KNN_K},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def int_dist(batch: pa.Table) -> pa.Table:
+        poi = batch["poi_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(pk_s, poi)
+        d2 = (batch["lat_cd"].to_numpy() - plat_s[pos]) ** 2 + (
+            batch["lon_cd"].to_numpy() - plon_s[pos]
+        ) ** 2
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "rank": batch["rank"],
+                "poi_partkey": pa.array(poi),
+                "dist2_cd": pa.array(d2.astype(np.int64)),
+            }
+        )
+
+    return joined.map_batches(int_dist, batch_format="pyarrow", batch_size=None)
+
+
+SQL_KNN3_POI = f"""
+WITH pts AS (
+  SELECT event_id, {EVENT_LAT_CD} AS lat_cd, {EVENT_LON_CD} AS lon_cd
+  FROM events WHERE event_id % {KNN_SUBSET_MOD} = 0
+), pois AS (
+  SELECT p_partkey, {POI_LAT_CD} AS lat_cd, {POI_LON_CD} AS lon_cd FROM part
+)
+SELECT event_id, CAST(rn AS BIGINT) AS rank, poi_partkey, dist2_cd FROM (
+  SELECT pts.event_id, pois.p_partkey AS poi_partkey,
+    (pts.lat_cd - pois.lat_cd) * (pts.lat_cd - pois.lat_cd)
+      + (pts.lon_cd - pois.lon_cd) * (pts.lon_cd - pois.lon_cd) AS dist2_cd,
+    ROW_NUMBER() OVER (
+      PARTITION BY pts.event_id
+      ORDER BY (pts.lat_cd - pois.lat_cd) * (pts.lat_cd - pois.lat_cd)
+        + (pts.lon_cd - pois.lon_cd) * (pts.lon_cd - pois.lon_cd),
+        pois.p_partkey
+    ) AS rn
+  FROM pts CROSS JOIN pois
+) WHERE rn <= {KNN_K}
+"""
+
+
 def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """The headline spatial pipeline (driver smoke check / bench):
     derive trackpoints → vectorized cell encode → broadcast PIP join
@@ -1222,4 +1292,5 @@ QUERIES: dict[str, tuple] = {
     "users_no_purchase": (q_users_no_purchase, SQL_USERS_NO_PURCHASE),
     "type_value_extremes": (q_type_value_extremes, SQL_TYPE_VALUE_EXTREMES),
     "order_status_priority": (q_order_status_priority, SQL_ORDER_STATUS_PRIORITY),
+    "knn3_poi": (q_knn3_poi, SQL_KNN3_POI),
 }

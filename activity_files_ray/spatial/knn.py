@@ -141,3 +141,68 @@ def nearest_poi(
         best_idx[unresolved] = ordk[am]
         best_d2[unresolved] = d2o[np.arange(len(unresolved)), am]
     return best_idx, best_d2
+
+
+def k_nearest_poi(
+    plat: np.ndarray,
+    plon: np.ndarray,
+    index: PoiIndex,
+    k: int = 3,
+    max_ring: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact k-nearest POIs per point via expanding cell disks.
+
+    Returns (poi_row_indices (n, k), squared_degree_distances (n, k)),
+    ordered by (distance, poi_id); −1 / inf padding where fewer than
+    ``k`` POIs exist. Same stopping bound as :func:`nearest_poi`
+    applied to the k-th best distance.
+    """
+    plat = np.asarray(plat, dtype=np.float64)
+    plon = np.asarray(plon, dtype=np.float64)
+    n = len(plat)
+    best_idx = np.full((n, k), -1, dtype=np.int64)
+    best_d2 = np.full((n, k), np.inf)
+    cell_lat_deg = 180.0 / (1 << index.level)
+    base_cell = cells.cell_id(plat, plon, index.level)
+    unresolved = np.arange(n)
+    r = 0
+    while len(unresolved) and r <= max_ring:
+        disk = cells.disk_cells(base_cell[unresolved], index.level, r)
+        m, w = disk.shape
+        counts, poi_rows = index.pois_in_cells(disk.ravel())
+        if poi_rows.size:
+            pt_of_cand = unresolved[np.repeat(np.arange(m * w) // w, counts)]
+            d2 = (index.lat[poi_rows] - plat[pt_of_cand]) ** 2 + (
+                index.lon[poi_rows] - plon[pt_of_cand]
+            ) ** 2
+            # per-point top-k over the full (nested) disk: sort by
+            # (point, d2, poi_id), keep per-point rank < k
+            key = np.lexsort((index.poi_ids[poi_rows], d2, pt_of_cand))
+            pts_s = pt_of_cand[key]
+            starts = np.ones(len(pts_s), dtype=bool)
+            starts[1:] = pts_s[1:] != pts_s[:-1]
+            group_start = np.maximum.accumulate(
+                np.where(starts, np.arange(len(pts_s)), 0)
+            )
+            rank = np.arange(len(pts_s)) - group_start
+            keep = rank < k
+            kp, kr = pts_s[keep], rank[keep]
+            best_idx[kp, kr] = poi_rows[key][keep]
+            best_d2[kp, kr] = d2[key][keep]
+        kth = best_d2[unresolved, k - 1]
+        resolved = np.sqrt(np.where(np.isfinite(kth), kth, np.inf)) <= r * cell_lat_deg
+        unresolved = unresolved[~resolved]
+        r += 1
+    if len(unresolved):
+        d2_all = (index.lat[None, :] - plat[unresolved, None]) ** 2 + (
+            index.lon[None, :] - plon[unresolved, None]
+        ) ** 2
+        kk = min(k, d2_all.shape[1])
+        # (d2, id)-lex top-k per straggler
+        order = np.lexsort(
+            (np.broadcast_to(index.poi_ids, d2_all.shape), d2_all), axis=1
+        )[:, :kk]
+        rowsel = np.arange(len(unresolved))[:, None]
+        best_idx[unresolved, :kk] = order
+        best_d2[unresolved, :kk] = d2_all[rowsel, order]
+    return best_idx, best_d2

@@ -369,3 +369,35 @@ def probe_salt_factor(
     if share <= hot_threshold:
         return 1
     return int(min(max_salt, max(2, round(share / hot_threshold))))
+
+
+def knn_k_join_batch(
+    batch: pa.Table,
+    index_ref: Any,
+    k: int = 3,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> pa.Table:
+    """k-nearest POI join (task-function form): emits one row per
+    (point, neighbor) with ``rank`` (1-based, (distance, id)-ordered)
+    — the long-form output an oracle can reproduce with ROW_NUMBER."""
+    index: knn.PoiIndex = _resolve_cached(index_ref)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    rows, d2 = knn.k_nearest_poi(lat, lon, index, k=k)
+    n = len(lat)
+    found = rows >= 0
+    pt_idx = np.repeat(np.arange(n), k)[found.ravel()]
+    ranks = np.tile(np.arange(1, k + 1), n)[found.ravel()]
+    poi_rows = rows.ravel()[found.ravel()]
+    out = batch.take(pa.array(pt_idx))
+    id_type = (
+        pa.string()
+        if index.poi_ids.dtype == object
+        else pa.from_numpy_dtype(index.poi_ids.dtype)
+    )
+    return (
+        out.append_column("rank", pa.array(ranks.astype(np.int64)))
+        .append_column("poi_id", pa.array(index.poi_ids[poi_rows].tolist(), type=id_type))
+        .append_column("dist2_deg", pa.array(d2.ravel()[found.ravel()]))
+    )

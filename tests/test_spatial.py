@@ -190,3 +190,33 @@ class TestSaltProbe:
         t = pa.table({"k": pa.array(keys)})
         s = stages.probe_salt_factor(rd.from_arrow(t), "k")
         assert s >= 8  # hot key holds 50% of rows -> strong salting
+
+
+class TestKNearest:
+    def test_matches_brute_force_k3(self):
+        rng = np.random.default_rng(5)
+        poi_lat = np.round(rng.uniform(38, 42, 200), 4)
+        poi_lon = np.round(rng.uniform(-107, -103, 200), 4)
+        idx = knn.PoiIndex(np.arange(200), poi_lat, poi_lon, level=12)
+        plat = np.round(rng.uniform(38, 42, 300), 4)
+        plon = np.round(rng.uniform(-107, -103, 300), 4)
+        gi, gd = knn.k_nearest_poi(plat, plon, idx, k=3)
+        d2 = (idx.lat[None, :] - plat[:, None]) ** 2 + (idx.lon[None, :] - plon[:, None]) ** 2
+        order = np.lexsort((np.broadcast_to(idx.poi_ids, d2.shape), d2), axis=1)[:, :3]
+        np.testing.assert_array_equal(gi, order)
+        np.testing.assert_allclose(gd, d2[np.arange(300)[:, None], order])
+
+    def test_padding_when_fewer_pois(self):
+        idx = knn.PoiIndex(np.arange(2), np.array([0.0, 1.0]), np.array([0.0, 1.0]), level=8)
+        gi, gd = knn.k_nearest_poi(np.array([0.5]), np.array([0.5]), idx, k=5)
+        assert gi[0, :2].tolist() == [0, 1]
+        assert (gi[0, 2:] == -1).all() and np.isinf(gd[0, 2:]).all()
+
+    def test_k1_equals_nearest(self):
+        rng = np.random.default_rng(8)
+        idx = knn.PoiIndex(np.arange(50), rng.uniform(0, 5, 50), rng.uniform(0, 5, 50), level=10)
+        plat, plon = rng.uniform(0, 5, 100), rng.uniform(0, 5, 100)
+        gi, gd = knn.k_nearest_poi(plat, plon, idx, k=1)
+        ni, nd = knn.nearest_poi(plat, plon, idx)
+        np.testing.assert_array_equal(gi[:, 0], ni)
+        np.testing.assert_allclose(gd[:, 0], nd)
