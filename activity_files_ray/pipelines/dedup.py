@@ -178,11 +178,16 @@ def minhash_dedup(
     threshold: float = 0.8,
     shingle_k: int = 3,
     seed: int = 42,
+    use_shuffle: bool = False,
 ):
     """MinHash+LSH near-dup detection over a Dataset of documents.
 
     Returns (clusters_df(doc_id, cluster_id) for docs in any
     near-dup cluster, verified_pairs_df(a, b, jaccard)).
+    ``use_shuffle=True`` routes candidate generation through a real
+    ``groupby(band_key)`` shuffle (the corpus-scale plan — the driver
+    only sees candidate pairs); the default driver-fold is faster at
+    bench scale. Both produce identical pairs.
     """
     hasher = FastMinHasher(n_perm, seed)
 
@@ -195,8 +200,30 @@ def minhash_dedup(
                 rows_key.append(k)
         return pd.DataFrame({"doc_id": rows_id, "band_key": np.asarray(rows_key, dtype=np.int64)})
 
-    buckets = ds.map_batches(sig_batch, batch_format="pandas", batch_size=None).to_pandas()
-    pairs = _pairs_from_buckets(buckets)
+    bucket_rows = ds.map_batches(sig_batch, batch_format="pandas", batch_size=None)
+    if use_shuffle:
+        # the 100 TB path: co-locate each band bucket with a real
+        # groupby shuffle and emit candidate pairs per group — the
+        # driver only ever sees pairs, never the bucket table
+        def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+            ids = sorted(set(g["doc_id"]))
+            if len(ids) < 2 or len(ids) > 64:
+                return pd.DataFrame(columns=["a", "b"])
+            out = [
+                (ids[i], ids[j])
+                for i in range(len(ids))
+                for j in range(i + 1, len(ids))
+            ]
+            return pd.DataFrame(out, columns=["a", "b"])
+
+        pair_df = (
+            bucket_rows.groupby("band_key")
+            .map_groups(pairs_of_group, batch_format="pandas")
+            .to_pandas()
+        )
+        pairs = set(zip(pair_df["a"], pair_df["b"]))
+    else:
+        pairs = _pairs_from_buckets(bucket_rows.to_pandas())
     if not pairs:
         return (
             pd.DataFrame(columns=[id_col, "cluster_id"]),

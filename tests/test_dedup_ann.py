@@ -147,3 +147,42 @@ class TestAnn:
         np.testing.assert_array_equal(
             ann.kmeans_fit(x, 4, seed=9), ann.kmeans_fit(x, 4, seed=9)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashShufflePath:
+    def test_shuffle_equals_driver_fold(self):
+        import ray.data as rd
+
+        ds = rd.from_pandas(planted_corpus())
+        _c1, p1 = dedup.minhash_dedup(ds, threshold=0.5, use_shuffle=False)
+        _c2, p2 = dedup.minhash_dedup(ds, threshold=0.5, use_shuffle=True)
+        a = {tuple(sorted(x)) for x in zip(p1["a"], p1["b"])}
+        b = {tuple(sorted(x)) for x in zip(p2["a"], p2["b"])}
+        assert a == b and a
+
+
+class TestCrossProcessDeterminism:
+    def test_hashes_stable_across_hashseed(self):
+        """LSH keys must not depend on PYTHONHASHSEED (each Ray worker
+        gets a different seed — builtin hash() would shatter buckets)."""
+        import subprocess, sys
+
+        prog = (
+            "from activity_files_ray.pipelines import dedup;"
+            "import sys;"
+            "print(dedup.simhash64('the quick brown fox'),"
+            " dedup.shingle_set('a b c d e f').tolist(),"
+            " dedup.band_keys(dedup.FastMinHasher(16).signature("
+            "dedup.shingle_set('a b c d e f')), 4))"
+        )
+        outs = set()
+        for seed in ("1", "2"):
+            r = subprocess.run(
+                [sys.executable, "-c", prog],
+                env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin",
+                     "PYTHONPATH": "/root/repo"},
+                capture_output=True, text=True, check=True,
+            )
+            outs.add(r.stdout.strip())
+        assert len(outs) == 1
