@@ -31,7 +31,10 @@ def iso_to_us(s: str) -> int | None:
         return None
     if dt.tzinfo is not None:
         dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-    return int((dt - EPOCH).total_seconds() * 1_000_000)
+    td = dt - EPOCH
+    # exact integer microseconds — total_seconds() is a float and
+    # loses the last microsecond (found by hypothesis round-trip)
+    return td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
 
 
 def us_to_iso(ts_us: int) -> str:

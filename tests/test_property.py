@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+ARBITRARY inputs, beyond the fixture oracles — the robustness layer
+the reference lacks (SURVEY §5: "No property-based testing")."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from activity_files_ray.functions import cells, geo
+from activity_files_ray.sources import gpx, stage
+from activity_files_ray.stages import normalize as nz
+
+finite_lat = st.floats(-89.99, 89.99, allow_nan=False, width=64)
+finite_lon = st.floats(-179.99, 179.99, allow_nan=False, width=64)
+
+
+def _points_df(ts, lat, lon):
+    n = len(ts)
+    return pd.DataFrame(
+        {
+            "activity_id": ["a"] * n,
+            "seq": np.arange(n, dtype=np.int32),
+            "ts_us": np.asarray(ts, dtype=np.int64),
+            "lat": np.asarray(lat, dtype=np.float64),
+            "lon": np.asarray(lon, dtype=np.float64),
+            "ele": np.zeros(n),
+        }
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2_000_000_000_000),
+            finite_lat,
+            finite_lon,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sort_dedup_idempotent_and_ordered(rows):
+    df = _points_df(*(list(x) for x in zip(*rows)))
+    once = nz.sort_and_dedup(df)
+    twice = nz.sort_and_dedup(once)
+    assert once["ts_us"].is_monotonic_increasing
+    assert not once["ts_us"].duplicated().any()
+    pd.testing.assert_frame_equal(once, twice)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**12), finite_lat, finite_lon),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_gpx_roundtrip_arbitrary_tracks(rows):
+    rows = sorted(rows)
+    df = _points_df(*(list(x) for x in zip(*rows)))
+    # encoder rounds to 7 decimals; quantize input the same way so the
+    # round-trip comparison is exact
+    df["lat"] = df["lat"].round(7)
+    df["lon"] = df["lon"].round(7)
+    payload = gpx.encode_gpx(df, None)
+    parsed = gpx.parse_gpx(payload, "a")
+    got = parsed.points_df()
+    assert len(got) == len(df)
+    np.testing.assert_array_equal(got["ts_us"].to_numpy(), df["ts_us"].to_numpy())
+    np.testing.assert_allclose(got["lat"], df["lat"], atol=5e-8)
+    np.testing.assert_allclose(got["lon"], df["lon"], atol=5e-8)
+    # and the byte-stability form
+    assert gpx.encode_gpx(got, None) == payload
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(finite_lat, finite_lon), min_size=1, max_size=50))
+def test_cell_ids_within_bounds_and_stable(pts):
+    lat = np.array([p[0] for p in pts])
+    lon = np.array([p[1] for p in pts])
+    cid = cells.cell_id(lat, lon, 15)
+    assert (cid >= 0).all()
+    ix, iy = cells.xy_from_cell_id(cid)
+    assert (ix < (1 << 15)).all() and (iy < (1 << 15)).all()
+    # center of a cell maps back to the same cell
+    clat, clon = cells.cell_center(cid, 15)
+    np.testing.assert_array_equal(cells.cell_id(clat, clon, 15), cid)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.tuples(finite_lat, finite_lon),
+    st.tuples(finite_lat, finite_lon),
+)
+def test_haversine_symmetric_nonnegative(a, b):
+    d1 = geo.haversine_m(np.array([a[0]]), np.array([a[1]]), np.array([b[0]]), np.array([b[1]]))[0]
+    d2 = geo.haversine_m(np.array([b[0]]), np.array([b[1]]), np.array([a[0]]), np.array([a[1]]))[0]
+    assert d1 >= 0
+    assert abs(d1 - d2) <= 1e-6 * max(1.0, d1)
+    assert d1 <= np.pi * geo.EARTH_RADIUS_M + 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_parsers_never_throw_on_garbage(data):
+    parsed = stage.parse_payload(data, "fuzz")
+    assert parsed.diags  # always diagnosed, never raised
+    for fmt in ("gpx", "tcx", "csv", "geojson", "fit"):
+        p = stage.parse_payload(data, "fuzz", fmt)
+        assert isinstance(p.diags, list)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 1000), min_size=2, max_size=20),
+    st.integers(1, 500),
+    st.integers(501, 999),
+)
+def test_span_rules_preserve_order_and_bounds(ts, lo, hi):
+    s = np.array(sorted(ts)[:-1], dtype=np.int64)
+    e = np.array(sorted(ts)[1:], dtype=np.int64)
+    ns, ne, keep = nz.clip_spans_delete_range(s, e, lo, hi)
+    assert (ne[keep] >= ns[keep]).all()
+    ns2, ne2, keep2 = nz.shift_spans_remove_pause(s, e, lo, hi)
+    assert (ne2[keep2] > ns2[keep2]).all()
+    ns3, ne3 = nz.shift_spans_insert_pause(s, e, lo, 100)
+    assert (ne3 >= ns3).all()
