@@ -122,7 +122,14 @@ class _MsgDef:
         self.total = sum(f.size for f in fields)
 
 
-def parse_fit(data: bytes, activity_id: str) -> ParsedActivity:
+def parse_fit(
+    data: bytes, activity_id: str, integrity: str = "report"
+) -> ParsedActivity:
+    """``integrity`` ∈ strict|report|silent (integrity_mode.dart:7-21):
+    strict → CRC mismatch is an ERROR and parsing stops; report →
+    warning diagnostics, parse continues (default); silent → CRC not
+    checked."""
+    assert integrity in ("strict", "report", "silent"), integrity
     out = ParsedActivity(activity_id)
     if len(data) < 12:
         out.diag("error", "fit.header.too_short", f"{len(data)} bytes", "")
@@ -132,15 +139,21 @@ def parse_fit(data: bytes, activity_id: str) -> ParsedActivity:
         out.diag("error", "fit.header.invalid", "not a FIT header", "")
         return out
     data_size = struct.unpack_from("<I", data, 4)[0]
-    if hdr_size == 14:
+    sev = "error" if integrity == "strict" else "warning"
+    if hdr_size == 14 and integrity != "silent":
         hcrc = struct.unpack_from("<H", data, 12)[0]
         if hcrc != 0 and crc16(data[:12]) != hcrc:
-            out.diag("warning", "fit.header.crc_mismatch", "header CRC invalid", "")
+            out.diag(sev, "fit.header.crc_mismatch", "header CRC invalid", "")
+            if integrity == "strict":
+                return out
     end = hdr_size + data_size
     if end + 2 <= len(data):
-        file_crc = struct.unpack_from("<H", data, end)[0]
-        if crc16(data[:end]) != file_crc:
-            out.diag("warning", "fit.trailer.crc_mismatch", "file CRC invalid", "")
+        if integrity != "silent":
+            file_crc = struct.unpack_from("<H", data, end)[0]
+            if crc16(data[:end]) != file_crc:
+                out.diag(sev, "fit.trailer.crc_mismatch", "file CRC invalid", "")
+                if integrity == "strict":
+                    return out
     else:
         out.diag("warning", "fit.trailer.truncated", "missing trailing CRC", "")
         end = len(data)

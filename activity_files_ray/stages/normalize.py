@@ -341,3 +341,91 @@ def largest_contiguous_group(
     if "seq" in out.columns:
         out["seq"] = np.arange(len(out), dtype=np.int32)
     return out
+
+
+def insert_point(df: pd.DataFrame, row: dict) -> pd.DataFrame:
+    """M5 insertPoint (raw_editor.dart:296-341): add a point and
+    restore chronological order."""
+    return sort_and_dedup(
+        pd.concat([df, pd.DataFrame([{**{"activity_id": df["activity_id"].iloc[0] if len(df) else ""}, **row}])],
+                  ignore_index=True)
+    )
+
+
+def delete_point_at(df: pd.DataFrame, index: int) -> pd.DataFrame:
+    """M5 deletePointAt: positional removal; out-of-range is a no-op
+    (never-throw)."""
+    if not 0 <= index < len(df):
+        return df.reset_index(drop=True)
+    out = df.drop(df.index[index]).reset_index(drop=True)
+    if "seq" in out.columns:
+        out["seq"] = np.arange(len(out), dtype=np.int32)
+    return out
+
+
+def update_point(df: pd.DataFrame, index: int, **changes) -> pd.DataFrame:
+    """M5 updatePoint: positional field update; re-sorts when the
+    timestamp changed (raw_editor.dart:296-341 semantics)."""
+    if not 0 <= index < len(df):
+        return df.reset_index(drop=True)
+    out = df.copy().reset_index(drop=True)
+    ts_changed = "ts_us" in changes and changes["ts_us"] != out.loc[index, "ts_us"]
+    for k, v in changes.items():
+        out.loc[index, k] = v
+    return sort_and_dedup(out) if ts_changed else out
+
+
+def channel_snapshot(
+    channels: pd.DataFrame, at_us: int, tolerance_us: int = 5_000_000
+) -> dict[str, float]:
+    """The facade's channelSnapshot (facade:715-719): nearest sample
+    per channel at a given time, within tolerance."""
+    from ..sources.gpx import nearest_join
+
+    out: dict[str, float] = {}
+    at = np.asarray([at_us], dtype=np.int64)
+    for ch, g in channels.groupby("channel", observed=True):
+        v = nearest_join(
+            at, g["ts_us"].to_numpy(np.int64), g["value"].to_numpy(np.float64),
+            tolerance_us,
+        )[0]
+        if np.isfinite(v):
+            out[str(ch)] = float(v)
+    return out
+
+
+def resample_channels(
+    channels: pd.DataFrame, grid_us: np.ndarray, step_s: float
+) -> pd.DataFrame:
+    """M13's channel rule (raw_transforms.dart:49-53): continuous
+    channels linearly interpolated onto the grid; heart_rate snapped
+    to the NEAREST sample within step/2 (absent otherwise)."""
+    half_us = int(step_s * 1e6 / 2)
+    frames = []
+    for ch, g in channels.groupby("channel", observed=True):
+        ts = g["ts_us"].to_numpy(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        order = np.argsort(ts, kind="stable")
+        ts, v = ts[order], v[order]
+        if str(ch) == "heart_rate":
+            from ..sources.gpx import nearest_join
+
+            nv = nearest_join(grid_us, ts, v, tolerance_us=half_us)
+            mask = np.isfinite(nv)
+        else:
+            nv = np.interp(grid_us, ts, v)
+            mask = (grid_us >= ts[0]) & (grid_us <= ts[-1])
+        if mask.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "activity_id": g["activity_id"].iloc[0],
+                        "channel": str(ch),
+                        "ts_us": grid_us[mask],
+                        "value": nv[mask],
+                    }
+                )
+            )
+    if not frames:
+        return pd.DataFrame(columns=["activity_id", "channel", "ts_us", "value"])
+    return pd.concat(frames, ignore_index=True)

@@ -347,3 +347,21 @@ class TestGpxWaypointsRoutes:
         parsed = gpx.parse_gpx(open(path, "rb").read(), "ref")
         assert parsed.n_waypoints == len(parsed.waypoints)
         assert parsed.n_routes == len(parsed.routes)
+
+
+class TestFitIntegrityModes:
+    def test_strict_stops_on_crc(self):
+        pts = canonical_points()
+        payload = bytearray(fit_mod.encode_fit(pts, None))
+        payload[-1] ^= 0xFF
+        parsed = fit_mod.parse_fit(bytes(payload), "a", integrity="strict")
+        assert any(d[0] == "error" and "crc" in d[1] for d in parsed.diags)
+        assert len(parsed.ts_us) == 0  # strict: no content returned
+
+    def test_silent_ignores_crc(self):
+        pts = canonical_points()
+        payload = bytearray(fit_mod.encode_fit(pts, None))
+        payload[-1] ^= 0xFF
+        parsed = fit_mod.parse_fit(bytes(payload), "a", integrity="silent")
+        assert not any("crc" in d[1] for d in parsed.diags)
+        assert len(parsed.ts_us) == 3

@@ -288,3 +288,45 @@ class TestDeviceValidation:
         assert "validation.device.blank_model" in codes
         assert "validation.device.fit_product_id_range" in codes
         assert "validation.device.name_id_mismatch" in codes
+
+
+class TestPointEditsAndSnapshot:
+    def test_insert_update_delete(self):
+        df = _pts([10, 30])
+        df2 = nz.insert_point(df, {"seq": 0, "ts_us": 20, "lat": 41.0, "lon": -106.0, "ele": 0.0})
+        assert df2["ts_us"].tolist() == [10, 20, 30]
+        df3 = nz.update_point(df2, 0, ts_us=25)
+        assert df3["ts_us"].tolist() == [20, 25, 30]  # re-sorted
+        df4 = nz.delete_point_at(df3, 1)
+        assert df4["ts_us"].tolist() == [20, 30]
+        assert nz.delete_point_at(df4, 99).equals(df4)  # no-op
+
+    def test_channel_snapshot(self):
+        ch = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 4,
+                "channel": ["heart_rate", "heart_rate", "power", "power"],
+                "ts_us": [0, 10_000_000, 0, 10_000_000],
+                "value": [140.0, 150.0, 200.0, 220.0],
+            }
+        )
+        snap = nz.channel_snapshot(ch, 9_000_000)
+        assert snap == {"heart_rate": 150.0, "power": 220.0}
+        assert nz.channel_snapshot(ch, 100_000_000) == {}  # out of tolerance
+
+    def test_resample_channels_rules(self):
+        ch = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 6,
+                "channel": ["power"] * 3 + ["heart_rate"] * 3,
+                "ts_us": [0, 10_000_000, 20_000_000] * 2,
+                "value": [200.0, 220.0, 240.0, 140.0, 150.0, 160.0],
+            }
+        )
+        grid = np.array([0, 5_000_000, 10_000_000, 20_000_000], dtype=np.int64)
+        out = nz.resample_channels(ch, grid, step_s=10.0)
+        pw = out[out.channel == "power"].set_index("ts_us")["value"]
+        assert pw.loc[5_000_000] == 210.0  # linear interp
+        hr = out[out.channel == "heart_rate"].set_index("ts_us")["value"]
+        assert hr.loc[5_000_000] in (140.0, 150.0)  # nearest within step/2
+        assert hr.loc[0] == 140.0
