@@ -32,6 +32,7 @@ def tree_aggregate(
     ds,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
+    combine_partitions: int = 0,
 ) -> pd.DataFrame:
     """Grouped aggregate via combiner tree.
 
@@ -39,6 +40,13 @@ def tree_aggregate(
     (count ignores src_col). Returns a pandas DataFrame with columns
     ``keys + list(aggs)``; exact for any batch split because all fns
     are associative-mergeable.
+
+    ``combine_partitions > 0`` inserts a middle merge level (the
+    per-node combiner from SCALE.md §4): partials are coalesced into
+    that many blocks and merged BEFORE the driver, bounding driver
+    input at partitions × keys rows. Off by default — at single-host
+    bench scale the extra exchange costs more than it saves; on a
+    multi-node run set it ≈ node count.
     """
     spec = dict(aggs)
 
@@ -63,6 +71,13 @@ def tree_aggregate(
     pending: list[pd.DataFrame] = []
     pending_rows = 0
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    if combine_partitions > 0:
+        def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(keys, as_index=False, observed=True).agg(**merge_named)
+
+        parts = parts.repartition(combine_partitions).map_batches(
+            merge_block, batch_format="pandas", batch_size=None
+        )
     for b in parts.iter_batches(batch_size=65536, batch_format="pandas"):
         pending.append(b)
         pending_rows += len(b)

@@ -140,11 +140,21 @@ def convert_one(
     ))
     channels = parsed.channels_df()
     spans = parsed.spans_df()
+    extra: dict = {}
+    if to_fmt in ("tcx", "fit"):
+        extra = {"spans": spans, "sport": parsed.sport}
+    elif to_fmt == "gpx":
+        # fidelity: name / creator / waypoints / routes survive the
+        # convert (models.dart losslessness invariant)
+        extra = {
+            "name": parsed.name,
+            "waypoints": parsed.waypoints,
+            "routes": parsed.routes,
+        }
+        if parsed.creator:
+            extra["creator"] = parsed.creator
     payload = src_stage.encode_activity(
-        to_fmt,
-        fixed,
-        channels if len(channels) else None,
-        **({"spans": spans, "sport": parsed.sport} if to_fmt in ("tcx", "fit") else {}),
+        to_fmt, fixed, channels if len(channels) else None, **extra
     )
     dd = pd.concat([d for d in diags if len(d)], ignore_index=True) if any(
         len(d) for d in diags

@@ -35,8 +35,12 @@ _ENCODERS = {
     "gpx": lambda p, c, **kw: gpx.encode_gpx(p, c, **kw),
     "tcx": lambda p, c, **kw: tcx.encode_tcx(p, c, **kw),
     "csv": lambda p, c, **kw: csv_fmt.encode_csv(p, c),
-    "geojson": lambda p, c, **kw: geojson.encode_geojson(p, c, **kw),
-    "fit": lambda p, c, **kw: fit_mod.encode_fit(p, c, **kw),
+    "geojson": lambda p, c, **kw: geojson.encode_geojson(
+        p, c, **{k: v for k, v in kw.items() if k in ("metadata", "mode")}
+    ),
+    "fit": lambda p, c, **kw: fit_mod.encode_fit(
+        p, c, **{k: v for k, v in kw.items() if k in ("sport", "manufacturer_id", "spans")}
+    ),
 }
 
 OUTPUTS = ("points", "channels", "spans", "diagnostics", "activities")

@@ -202,3 +202,18 @@ class TestCli:
         from activity_files_ray import cli
 
         assert cli.main(["validate", "/nonexistent/file"]) == 64
+
+
+class TestConvertFidelity:
+    def test_gpx_name_creator_waypoints_survive(self):
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        src = gpx.encode_gpx(
+            pts, None, name="dawn patrol", creator="UnitDevice",
+            waypoints=[{"lat": 40.5, "lon": -105.5, "name": "cafe"}],
+        )
+        out, _d = cv.convert_one(src, "gpx", "a1")
+        re = gpx.parse_gpx(out, "check")
+        assert re.name == "dawn patrol"
+        assert re.creator == "UnitDevice"
+        assert re.waypoints and re.waypoints[0]["name"] == "cafe"

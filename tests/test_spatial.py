@@ -3,6 +3,7 @@ stage, raster tiling, salted aggregation (SURVEY.md §5 layer (d):
 spatial results must match a slow-but-obvious oracle exactly)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -220,3 +221,26 @@ class TestKNearest:
         ni, nd = knn.nearest_poi(plat, plon, idx)
         np.testing.assert_array_equal(gi[:, 0], ni)
         np.testing.assert_allclose(gd[:, 0], nd)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTreeAggregateCombiner:
+    def test_middle_level_exact(self):
+        import ray.data as rd
+
+        from activity_files_ray.pipelines import agg
+
+        pts = fixtures.make_trackpoints(6, 300, seed=4)
+        ds = rd.from_arrow(pts).map_batches(
+            stages.add_cell_columns, batch_format="pyarrow"
+        )
+        a = agg.tree_aggregate(
+            ds.select_columns(["cell", "lat"]), ["cell"],
+            {"n": ("", "count"), "mx": ("lat", "max")},
+        ).sort_values("cell").reset_index(drop=True)
+        b = agg.tree_aggregate(
+            ds.select_columns(["cell", "lat"]), ["cell"],
+            {"n": ("", "count"), "mx": ("lat", "max")},
+            combine_partitions=3,
+        ).sort_values("cell").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
