@@ -141,7 +141,11 @@ def convert_one(
     channels = parsed.channels_df()
     spans = parsed.spans_df()
     extra: dict = {}
-    if to_fmt in ("tcx", "fit"):
+    if to_fmt == "tcx":
+        extra = {"spans": spans, "sport": parsed.sport}
+        if parsed.creator:
+            extra["creator"] = parsed.creator
+    elif to_fmt == "fit":
         extra = {"spans": spans, "sport": parsed.sport}
     elif to_fmt == "gpx":
         # fidelity: name / creator / waypoints / routes survive the

@@ -1222,6 +1222,22 @@ SELECT event_id, CAST(rn AS BIGINT) AS rank, poi_partkey, dist2_cd FROM (
 """
 
 
+def q_image_phash_dedup(sf_dir: str):
+    """Corpus-level exact image dedup: groupby perceptual hash, keep
+    first image_id (SURVEY §7.3 "corpus dedup → phash groupby-first").
+    Runs over the deterministic fixture image table (the sf dirs carry
+    no image table); rows-only driver check, oracle in tests."""
+    import ray.data as rd
+
+    from .. import fixtures
+
+    imgs = rd.from_arrow(fixtures.make_images(200, seed=42).select(["image_id", "phash"]))
+    grouped = agg.tree_aggregate(
+        imgs, ["phash"], {"image_id": ("image_id", "min"), "n_copies": ("", "count")}
+    )
+    return grouped[["image_id", "n_copies"]]
+
+
 def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """The headline spatial pipeline (driver smoke check / bench):
     derive trackpoints → vectorized cell encode → broadcast PIP join
@@ -1293,4 +1309,5 @@ QUERIES: dict[str, tuple] = {
     "type_value_extremes": (q_type_value_extremes, SQL_TYPE_VALUE_EXTREMES),
     "order_status_priority": (q_order_status_priority, SQL_ORDER_STATUS_PRIORITY),
     "knn3_poi": (q_knn3_poi, SQL_KNN3_POI),
+    "image_phash_dedup": (q_image_phash_dedup, None),
 }

@@ -368,6 +368,16 @@ def encode_fit(
             ch[str(name)] = dict(
                 zip(g["ts_us"].astype("int64"), g["value"].astype(float))
             )
+    if ts.size == 0 and ch:
+        # O2 (fit_encoder.dart:649-658): no points → the record grid
+        # is the sorted UNION of all channel timestamps; positions
+        # encode as invalid sentinels
+        ts = np.unique(
+            np.concatenate([np.fromiter(m.keys(), dtype=np.int64) for m in ch.values()])
+        )
+        lat = np.full(ts.size, np.nan)
+        lon = np.full(ts.size, np.nan)
+        ele = np.full(ts.size, np.nan)
     body = bytearray()
     # file_id definition (local 0): type(0) enum, manufacturer(1) u16
     body += bytes([0x40, 0, 0, 0, 0, 2, 0, 1, 0x00, 1, 2, 0x84])
@@ -388,8 +398,12 @@ def encode_fit(
         fit_ts = (t - FIT_EPOCH_US) // 1_000_000
         body += bytes([0x01])
         body += struct.pack("<I", fit_ts & 0xFFFFFFFF)
-        body += struct.pack("<i", int(round(lat[i] / geo.SEMICIRCLE_TO_DEG)))
-        body += struct.pack("<i", int(round(lon[i] / geo.SEMICIRCLE_TO_DEG)))
+        if np.isfinite(lat[i]) and np.isfinite(lon[i]):
+            body += struct.pack("<i", int(round(lat[i] / geo.SEMICIRCLE_TO_DEG)))
+            body += struct.pack("<i", int(round(lon[i] / geo.SEMICIRCLE_TO_DEG)))
+        else:
+            body += struct.pack("<i", 0x7FFFFFFF)  # invalid sentinels
+            body += struct.pack("<i", 0x7FFFFFFF)
         body += struct.pack(
             "<H",
             0xFFFF

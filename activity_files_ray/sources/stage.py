@@ -33,7 +33,10 @@ _PARSERS = {
 
 _ENCODERS = {
     "gpx": lambda p, c, **kw: gpx.encode_gpx(p, c, **kw),
-    "tcx": lambda p, c, **kw: tcx.encode_tcx(p, c, **kw),
+    "tcx": lambda p, c, **kw: tcx.encode_tcx(
+        p, c, **{k: v for k, v in kw.items()
+                 if k in ("spans", "sport", "creator", "tolerance_us")}
+    ),
     "csv": lambda p, c, **kw: csv_fmt.encode_csv(p, c),
     "geojson": lambda p, c, **kw: geojson.encode_geojson(
         p, c, **{k: v for k, v in kw.items() if k in ("metadata", "mode")}

@@ -365,3 +365,18 @@ class TestFitIntegrityModes:
         parsed = fit_mod.parse_fit(bytes(payload), "a", integrity="silent")
         assert not any("crc" in d[1] for d in parsed.diags)
         assert len(parsed.ts_us) == 3
+
+
+class TestFitChannelGrid:
+    def test_channels_only_record_grid(self):
+        # O2: no points, channels present -> records on the union of
+        # channel timestamps with invalid position sentinels
+        ch = canonical_channels()
+        empty = canonical_points().iloc[0:0]
+        payload = fit_mod.encode_fit(empty, ch)
+        parsed = fit_mod.parse_fit(payload, "a")
+        assert len(parsed.ts_us) == 0  # no positions decoded
+        cdf = parsed.channels_df()
+        assert set(cdf["channel"]) == {"heart_rate", "cadence", "power", "temperature"}
+        hr = cdf[cdf.channel == "heart_rate"].sort_values("ts_us")
+        assert hr["value"].tolist() == [140.0, 142.0, 145.0]
