@@ -147,6 +147,12 @@ def convert_one(
             extra["creator"] = parsed.creator
     elif to_fmt == "fit":
         extra = {"spans": spans, "sport": parsed.sport}
+    elif to_fmt == "geojson":
+        meta = dict(parsed.metadata)
+        if parsed.sport:
+            meta.setdefault("sport", parsed.sport)
+        if meta:
+            extra = {"metadata": meta}
     elif to_fmt == "gpx":
         # fidelity: name / creator / waypoints / routes survive the
         # convert (models.dart losslessness invariant)

@@ -217,3 +217,14 @@ class TestConvertFidelity:
         assert re.name == "dawn patrol"
         assert re.creator == "UnitDevice"
         assert re.waypoints and re.waypoints[0]["name"] == "cafe"
+
+    def test_geojson_metadata_survives(self):
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        from activity_files_ray.sources import geojson as gj
+
+        src = gj.encode_geojson(pts, metadata={"sport": "cycling", "venue": "mesa"})
+        out, _d = cv.convert_one(src, "geojson", "a1")
+        re = gj.parse_geojson(out, "check")
+        assert re.metadata.get("venue") == "mesa"
+        assert re.sport == "cycling"
