@@ -63,6 +63,22 @@ GLOBAL_LAP = 19
 GLOBAL_RECORD = 20
 GLOBAL_EVENT = 21
 GLOBAL_DEVICE_INFO = 23
+GLOBAL_FIELD_DESCRIPTION = 206
+GLOBAL_DEVELOPER_DATA_ID = 207
+
+# channels with native record fields; anything else round-trips as a
+# developer field (fit_parser.dart:805-835 / fit_encoder.dart:477-516
+# semantics)
+NATIVE_CHANNELS = {"heart_rate", "cadence", "power", "temperature", "speed", "distance"}
+
+
+def _sanitize_field_name(name: str) -> str:
+    """Developer-field name → snake_case channel id
+    (fit_parser.dart:1167-1174 analog)."""
+    import re as _re
+
+    s = _re.sub(r"[^0-9a-zA-Z]+", "_", name.strip().lower()).strip("_")
+    return s or "dev_field"
 
 # record (global 20) field num → (name, kind)
 _RECORD_FIELDS = {
@@ -113,13 +129,22 @@ class _FieldDef:
 
 
 class _MsgDef:
-    __slots__ = ("global_num", "big_endian", "fields", "total")
+    __slots__ = ("global_num", "big_endian", "fields", "dev_fields", "total")
 
-    def __init__(self, global_num: int, big_endian: bool, fields: list[_FieldDef]):
+    def __init__(
+        self,
+        global_num: int,
+        big_endian: bool,
+        fields: list[_FieldDef],
+        dev_fields: list[tuple[int, int, int]] | None = None,  # (num, size, ddi)
+    ):
         self.global_num = global_num
         self.big_endian = big_endian
         self.fields = fields
-        self.total = sum(f.size for f in fields)
+        self.dev_fields = dev_fields or []
+        self.total = sum(f.size for f in fields) + sum(
+            sz for _n, sz, _d in self.dev_fields
+        )
 
 
 def parse_fit(
@@ -159,6 +184,10 @@ def parse_fit(
         end = len(data)
     pos = hdr_size
     defs: dict[int, _MsgDef] = {}
+    # (developer_data_index, field_num) → (channel_name, base_type) —
+    # built IN STREAM ORDER from field_description messages
+    # (fit_parser.dart:174-178,805-835 analog)
+    dev_registry: dict[tuple[int, int], tuple[str, int]] = {}
     last_ts: int | None = None
     while pos < end:
         hdr = data[pos]
@@ -174,7 +203,7 @@ def parse_fit(
             if last_ts is not None:
                 # 5-bit rollover (public FIT compressed-timestamp rule)
                 last_ts = last_ts + ((offset - (last_ts & 0x1F)) & 0x1F)
-            pos, seen = _parse_data(data, pos, mdef, out, last_ts)
+            pos, seen = _parse_data(data, pos, mdef, out, last_ts, dev_registry)
             if pos < 0:
                 break
             if seen is not None:
@@ -199,25 +228,24 @@ def parse_fit(
                     return out
                 fields.append(_FieldDef(data[pos], data[pos + 1], data[pos + 2]))
                 pos += 3
+            dev_fields: list[tuple[int, int, int]] = []
             if has_dev:
                 if pos >= end:
                     break
                 n_dev = data[pos]
                 pos += 1
-                # developer fields: skip their descriptors, account sizes
-                dev_fields = []
                 for _ in range(n_dev):
-                    dev_fields.append(_FieldDef(255, data[pos + 1], 0x0D))
+                    # (field_num, size, developer_data_index)
+                    dev_fields.append((data[pos], data[pos + 1], data[pos + 2]))
                     pos += 3
-                fields.extend(dev_fields)
-            defs[local] = _MsgDef(global_num, big_endian, fields)
+            defs[local] = _MsgDef(global_num, big_endian, fields, dev_fields)
         else:
             mdef = defs.get(local)
             if mdef is None:
                 out.diag("error", "fit.record.unknown_definition",
                          f"local {local}", f"offset {pos}")
                 break
-            pos, seen = _parse_data(data, pos, mdef, out, None)
+            pos, seen = _parse_data(data, pos, mdef, out, None, dev_registry)
             if pos < 0:
                 break
             if seen is not None:
@@ -251,7 +279,12 @@ def _read_field(data: bytes, pos: int, f: _FieldDef, big_endian: bool):
 
 
 def _parse_data(
-    data: bytes, pos: int, mdef: _MsgDef, out: ParsedActivity, comp_ts: int | None
+    data: bytes,
+    pos: int,
+    mdef: _MsgDef,
+    out: ParsedActivity,
+    comp_ts: int | None,
+    dev_registry: dict[tuple[int, int], tuple[str, int]] | None = None,
 ) -> tuple[int, int | None]:
     """Returns (next_pos_or_-1, timestamp_seconds_seen_or_None)."""
     if pos + mdef.total > len(data):
@@ -263,9 +296,31 @@ def _parse_data(
         if f.num != 255:
             vals[f.num] = _read_field(data, p, f, mdef.big_endian)
         p += f.size
+    dev_vals: dict[str, float] = {}
+    registry = dev_registry or {}
+    for num, size, ddi in mdef.dev_fields:
+        entry = registry.get((ddi, num))
+        if entry is not None:
+            name, base = entry
+            v = _read_field(data, p, _FieldDef(num, size, base), mdef.big_endian)
+            if isinstance(v, (int, float)) and not (
+                isinstance(v, float) and v != v  # NaN sentinel
+            ):
+                dev_vals[name] = float(v)
+        p += size
     g = mdef.global_num
-    if g == GLOBAL_RECORD:
-        _emit_record(vals, out, comp_ts)
+    if g == GLOBAL_FIELD_DESCRIPTION and dev_registry is not None:
+        ddi_v, num_v, base_v = vals.get(0), vals.get(1), vals.get(2)
+        name_v = vals.get(3)
+        if (
+            isinstance(ddi_v, int) and isinstance(num_v, int)
+            and isinstance(base_v, int) and isinstance(name_v, str)
+        ):
+            dev_registry[(ddi_v, num_v)] = (
+                _sanitize_field_name(name_v), base_v & 0x9F
+            )
+    elif g == GLOBAL_RECORD:
+        _emit_record(vals, out, comp_ts, dev_vals)
     elif g == GLOBAL_SESSION:
         _emit_span(vals, "session", out)
         sp = vals.get(5)
@@ -294,7 +349,10 @@ def _parse_data(
     return pos + mdef.total, (ts_seen if isinstance(ts_seen, int) else None)
 
 
-def _emit_record(vals: dict, out: ParsedActivity, comp_ts: int | None) -> None:
+def _emit_record(
+    vals: dict, out: ParsedActivity, comp_ts: int | None,
+    dev_vals: dict[str, float] | None = None,
+) -> None:
     ts = vals.get(253)
     if ts is None:
         ts = comp_ts
@@ -321,6 +379,8 @@ def _emit_record(vals: dict, out: ParsedActivity, comp_ts: int | None) -> None:
             out.add_sample("speed", ts_us, v / 1000.0)
         else:
             out.add_sample(name, ts_us, float(v))
+    for name, v in (dev_vals or {}).items():
+        out.add_sample(name, ts_us, v)  # developer field → custom channel
 
 
 def _emit_span(vals: dict, kind: str, out: ParsedActivity) -> None:
@@ -383,6 +443,26 @@ def encode_fit(
     body += bytes([0x40, 0, 0, 0, 0, 2, 0, 1, 0x00, 1, 2, 0x84])
     body += bytes([0x00, 4])  # type=4 activity
     body += struct.pack("<H", manufacturer_id)
+    # custom (non-native) channels become developer fields
+    # (fit_encoder.dart:477-516,745-762 analog): declare a
+    # developer_data_id + one field_description per custom channel,
+    # then extend the record definition with float64 dev fields
+    custom = sorted(name for name in ch if name not in NATIVE_CHANNELS)
+    if custom:
+        # developer_data_id (global 207): developer_data_index(3) u8
+        body += bytes([0x45, 0, 0, 207, 0, 1, 3, 1, 0x02])
+        body += bytes([0x05, 0])
+        # field_description (global 206): ddi(0) u8, field_num(1) u8,
+        # base_type(2) u8, field_name(3) string[32], units(8) string[8]
+        body += bytes(
+            [0x46, 0, 0, 206, 0, 5, 0, 1, 0x02, 1, 1, 0x02, 2, 1, 0x02,
+             3, 32, 0x07, 8, 8, 0x07]
+        )
+        for i, name in enumerate(custom):
+            body += bytes([0x06, 0, i, 0x89])  # ddi=0, num=i, float64
+            nb = name.encode("utf-8")[:31]
+            body += nb + b"\x00" * (32 - len(nb))
+            body += b"\x00" * 8  # units blank
     # record definition (local 1): ts u32, lat i32, lon i32, alt u16,
     # dist u32, speed u16, hr u8, cad u8, power u16, temp i8
     rec_fields = [
@@ -390,9 +470,14 @@ def encode_fit(
         (5, 4, 0x86), (6, 2, 0x84), (3, 1, 0x02), (4, 1, 0x02),
         (7, 2, 0x84), (13, 1, 0x01),
     ]
-    body += bytes([0x41, 0, 0, 20, 0, len(rec_fields)])
+    hdr_bits = 0x61 if custom else 0x41  # dev-data bit when needed
+    body += bytes([hdr_bits, 0, 0, 20, 0, len(rec_fields)])
     for num, size, base in rec_fields:
         body += bytes([num, size, base])
+    if custom:
+        body += bytes([len(custom)])
+        for i in range(len(custom)):
+            body += bytes([i, 8, 0])  # (field_num=i, size=8, ddi=0)
     for i in range(ts.size):
         t = int(ts[i])
         fit_ts = (t - FIT_EPOCH_US) // 1_000_000
@@ -430,6 +515,9 @@ def encode_fit(
         body += struct.pack(
             "<b", 0x7F if tmp is None else max(-127, min(126, int(round(tmp))))
         )
+        for name in custom:
+            v = ch.get(name, {}).get(t)
+            body += struct.pack("<d", float("nan") if v is None else float(v))
     # lap messages (local 3) + event messages (local 4) from spans
     if spans is not None and len(spans):
         laps = spans[spans["kind"] == "lap"] if "kind" in spans.columns else spans

@@ -380,3 +380,69 @@ class TestFitChannelGrid:
         assert set(cdf["channel"]) == {"heart_rate", "cadence", "power", "temperature"}
         hr = cdf[cdf.channel == "heart_rate"].sort_values("ts_us")
         assert hr["value"].tolist() == [140.0, 142.0, 145.0]
+
+
+class TestFitDeveloperFields:
+    def _with_custom(self):
+        pts, ch = canonical_points(), canonical_channels()
+        extra = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"] * 3 * 2,
+                "channel": ["muscle_oxygen"] * 3 + ["form_power"] * 3,
+                "ts_us": pts["ts_us"].tolist() * 2,
+                "value": [55.5, 56.25, 57.0, 81.0, 82.5, 84.0],
+            }
+        )
+        return pts, pd.concat([ch, extra], ignore_index=True)
+
+    def test_custom_channels_roundtrip_exact(self):
+        pts, ch = self._with_custom()
+        payload = fit_mod.encode_fit(pts, ch, sport="cycling")
+        parsed = fit_mod.parse_fit(payload, "a1")
+        assert not [d for d in parsed.diags if d[0] == "error"]
+        cdf = parsed.channels_df()
+        for name, exp in (
+            ("muscle_oxygen", [55.5, 56.25, 57.0]),
+            ("form_power", [81.0, 82.5, 84.0]),
+        ):
+            got = cdf[cdf.channel == name].sort_values("ts_us")["value"].tolist()
+            assert got == exp, name  # float64 dev fields: EXACT
+
+    def test_byte_stable_double_roundtrip(self):
+        pts, ch = self._with_custom()
+        p1 = fit_mod.encode_fit(pts, ch, sport="cycling")
+        parsed = fit_mod.parse_fit(p1, "a1")
+        p2 = fit_mod.encode_fit(parsed.points_df(), parsed.channels_df(), sport=parsed.sport)
+        assert p1 == p2
+
+    def test_name_sanitization(self):
+        pts = canonical_points()
+        ch = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"] * 3,
+                "channel": ["My Sensor (v2)!"] * 3,
+                "ts_us": pts["ts_us"].tolist(),
+                "value": [1.0, 2.0, 3.0],
+            }
+        )
+        # channel ids are normalized on add_sample; encoder keeps them;
+        # a RAW payload with an unsanitized field name sanitizes on parse
+        payload = fit_mod.encode_fit(pts, ch)
+        parsed = fit_mod.parse_fit(payload, "a1")
+        names = set(parsed.channels_df()["channel"])
+        assert any("my_sensor" in n for n in names), names
+
+    def test_missing_values_are_nan_sentinels(self):
+        pts = canonical_points()
+        ch = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"] * 2,
+                "channel": ["grit"] * 2,
+                "ts_us": [int(pts["ts_us"].iloc[0]), int(pts["ts_us"].iloc[2])],
+                "value": [1.5, 2.5],
+            }
+        )
+        parsed = fit_mod.parse_fit(fit_mod.encode_fit(pts, ch), "a1")
+        g = parsed.channels_df()
+        g = g[g.channel == "grit"]
+        assert len(g) == 2  # middle record's NaN dev value not emitted
