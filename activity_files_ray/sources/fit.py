@@ -63,6 +63,8 @@ GLOBAL_LAP = 19
 GLOBAL_RECORD = 20
 GLOBAL_EVENT = 21
 GLOBAL_DEVICE_INFO = 23
+GLOBAL_LENGTH = 101  # per-pool-length record (SwimLength analog)
+GLOBAL_SET = 225  # strength workout set (WorkoutSet analog)
 GLOBAL_FIELD_DESCRIPTION = 206
 GLOBAL_DEVELOPER_DATA_ID = 207
 
@@ -337,6 +339,34 @@ def _parse_data(
             out.span_end_us.append(t_us)
             out.span_sport.append(None)
             out.span_dist_m.append(None)
+    elif g == GLOBAL_LENGTH:
+        # start_time(2) + total_elapsed_time(3, ms/1000)
+        start = vals.get(2)
+        if isinstance(start, int):
+            elapsed = vals.get(3)
+            s_us = FIT_EPOCH_US + start * 1_000_000
+            e_us = s_us + (
+                int(elapsed / 1000.0 * 1e6) if isinstance(elapsed, (int, float)) else 0
+            )
+            out.span_kind.append("length")
+            out.span_start_us.append(s_us)
+            out.span_end_us.append(e_us)
+            out.span_sport.append(None)
+            out.span_dist_m.append(None)
+    elif g == GLOBAL_SET:
+        # start_time(6) + duration(0, ms/1000)
+        start = vals.get(6)
+        if isinstance(start, int):
+            dur = vals.get(0)
+            s_us = FIT_EPOCH_US + start * 1_000_000
+            e_us = s_us + (
+                int(dur / 1000.0 * 1e6) if isinstance(dur, (int, float)) else 0
+            )
+            out.span_kind.append("set")
+            out.span_start_us.append(s_us)
+            out.span_end_us.append(e_us)
+            out.span_sport.append(None)
+            out.span_dist_m.append(None)
     elif g == GLOBAL_FILE_ID:
         man = vals.get(1)
         if isinstance(man, int):
@@ -540,6 +570,24 @@ def encode_fit(
                 )
                 sp = r.get("sport")
                 body += bytes([_SPORT_TO_ENUM.get(sp if isinstance(sp, str) else "", 0)])
+        lengths = spans[spans["kind"] == "length"] if "kind" in spans.columns else spans.iloc[0:0]
+        if len(lengths):
+            # length def (local 7): start_time(2) u32, total_elapsed(3) u32 ms
+            body += bytes([0x47, 0, 0, 101, 0, 2, 2, 4, 0x86, 3, 4, 0x86])
+            for _, r in lengths.iterrows():
+                s_us, e_us = int(r["start_us"]), int(r["end_us"])
+                body += bytes([0x07])
+                body += struct.pack("<I", ((s_us - FIT_EPOCH_US) // 1_000_000) & 0xFFFFFFFF)
+                body += struct.pack("<I", ((e_us - s_us) // 1000) & 0xFFFFFFFF)
+        sets_df = spans[spans["kind"] == "set"] if "kind" in spans.columns else spans.iloc[0:0]
+        if len(sets_df):
+            # set def (local 8): start_time(6) u32, duration(0) u32 ms
+            body += bytes([0x48, 0, 0, 225, 0, 2, 6, 4, 0x86, 0, 4, 0x86])
+            for _, r in sets_df.iterrows():
+                s_us, e_us = int(r["start_us"]), int(r["end_us"])
+                body += bytes([0x08])
+                body += struct.pack("<I", ((s_us - FIT_EPOCH_US) // 1_000_000) & 0xFFFFFFFF)
+                body += struct.pack("<I", ((e_us - s_us) // 1000) & 0xFFFFFFFF)
         events = spans[spans["kind"] == "event"] if "kind" in spans.columns else spans.iloc[0:0]
         if len(events):
             # event def: timestamp(253) u32, event(0) enum, event_type(1) enum

@@ -446,3 +446,28 @@ class TestFitDeveloperFields:
         g = parsed.channels_df()
         g = g[g.channel == "grit"]
         assert len(g) == 2  # middle record's NaN dev value not emitted
+
+
+class TestFitLengthsAndSets:
+    def test_roundtrip(self):
+        pts = canonical_points()
+        t0 = int(pts["ts_us"].iloc[0])
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"] * 2,
+                "kind": ["length", "set"],
+                "start_us": [t0, t0 + 60_000_000],
+                "end_us": [t0 + 30_000_000, t0 + 90_000_000],
+                "sport": [None, None],
+                "dist_m": [np.nan, np.nan],
+            }
+        )
+        payload = fit_mod.encode_fit(pts, None, spans=spans, sport="swimming")
+        parsed = fit_mod.parse_fit(payload, "a1")
+        assert not [d for d in parsed.diags if d[0] == "error"]
+        sdf = parsed.spans_df()
+        assert sorted(sdf["kind"]) == ["length", "session", "set"]
+        ln = sdf[sdf["kind"] == "length"].iloc[0]
+        assert int(ln["end_us"] - ln["start_us"]) == 30_000_000
+        st = sdf[sdf["kind"] == "set"].iloc[0]
+        assert int(st["end_us"] - st["start_us"]) == 30_000_000
