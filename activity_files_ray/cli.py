@@ -65,7 +65,6 @@ def _convert_dir(args) -> int:
     import ray.data as rd
 
     from .pipelines import convert as cv
-    from .sources import detect
 
     files = sorted(
         os.path.join(args.input, f)
@@ -91,7 +90,6 @@ def _convert_dir(args) -> int:
     for _, d in dd.iterrows():
         print(f"[{d['severity']}] {d['activity_id']} {d['code']}", file=sys.stderr)
     print(f"converted {n} activities -> {args.output}")
-    _ = detect
     ray.shutdown()
     return 0 if not (dd["severity"] == "error").any() else 65
 

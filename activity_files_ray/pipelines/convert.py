@@ -52,9 +52,8 @@ def convert_corpus(
             try:
                 payload, dd = convert_one(data, to_fmt, str(aid), f, opt)
                 n_err = int((dd["severity"] == "error").sum()) if len(dd) else 0
-            except Exception as e:  # noqa: BLE001 — never-throw contract
+            except Exception:  # noqa: BLE001 — never-throw contract
                 payload, n_err = b"", 1
-                _ = e
             ids.append(aid)
             fmts.append(to_fmt)
             payloads.append(payload)

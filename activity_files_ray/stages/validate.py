@@ -75,12 +75,10 @@ def validate_points_group(df: pd.DataFrame) -> pd.DataFrame:
               f"{int(bad_lon.sum())} invalid longitudes", "points")
     if "ele" in df.columns:
         ele = df["ele"].to_numpy(np.float64)
-        bad_ele = ~np.isfinite(ele) & ~np.isnan(ele)
-        inf_ele = np.isinf(ele)
+        inf_ele = np.isinf(ele)  # NaN = absent (valid); ±inf = error
         if inf_ele.any():
             _diag(rows, aid, "error", "validation.coordinate.elevation",
                   f"{int(inf_ele.sum())} non-finite elevations", "points")
-        _ = bad_ele
     return pd.DataFrame(rows, columns=DIAG_COLUMNS)
 
 

@@ -51,7 +51,6 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -76,7 +75,6 @@ def main(argv: list[str] | None = None) -> int:
         else fixtures.make_regions()
     )
     idx_ref = ray.put(polygons.PolygonIndex(polys))
-    poly_list = polys  # for region_id lookup in the closure
     m = metrics.StageMetrics()
 
     def process(part_id: str, inputs: list[str], out_dir: str) -> dict:
@@ -124,7 +122,6 @@ def main(argv: list[str] | None = None) -> int:
         parts, args.out, process, stage_version=args.stage_version
     )
     m.to_jsonl(os.path.join(args.out, "metrics.jsonl"))
-    _ = (np, poly_list)
     print(json.dumps({"partitions": {k: len(v) for k, v in parts.items()},
                       **{k: (v if isinstance(v, list) else v) for k, v in summary.items()}},
                      default=str))
