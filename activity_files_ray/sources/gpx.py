@@ -127,6 +127,7 @@ def _parse_trkpt(pt, out: ParsedActivity) -> None:
     ele = None
     ts = None
     ext_samples: list[tuple[str, float]] = []
+    foreign: list = []
     for c in pt:
         loc = _local(c.tag)
         if loc == "ele" and c.text:
@@ -139,7 +140,7 @@ def _parse_trkpt(pt, out: ParsedActivity) -> None:
             if ts is None:
                 out.diag("warning", "gpx.point.invalid_time", c.text, "")
         elif loc == "extensions":
-            _collect_ext(c, ext_samples)
+            _collect_ext(c, ext_samples, foreign)
     if ts is None:
         # pointless without time for a time-series engine: keep the
         # point with a synthetic monotone time? The reference keeps
@@ -151,11 +152,20 @@ def _parse_trkpt(pt, out: ParsedActivity) -> None:
         )
         return
     out.add_point(ts, lat, lon, ele)
+    if foreign:
+        import json as _json
+
+        out.point_ext[len(out.ts_us) - 1] = _json.dumps(
+            foreign, sort_keys=True, separators=(",", ":")
+        )
     for name, val in ext_samples:
         out.add_sample(name, ts, val)
 
 
-def _collect_ext(node, acc: list) -> None:
+_CONTAINER_TAGS = {"trackpointextension"}  # known channel wrappers
+
+
+def _collect_ext(node, acc: list, foreign: list | None = None) -> None:
     for c in node:
         loc = _local(c.tag)
         ch = _EXT_CHANNELS.get(loc)
@@ -164,8 +174,40 @@ def _collect_ext(node, acc: list) -> None:
                 acc.append((ch, float(c.text)))
             except ValueError:
                 pass
-        else:
-            _collect_ext(c, acc)
+        elif loc in _CONTAINER_TAGS:
+            # known channel wrapper: recurse for channel tags
+            _collect_ext(c, acc, foreign)
+        elif foreign is not None:
+            # unknown element → the WHOLE subtree is preserved
+            # (GpxExtensionNode analog, models.dart:978-1026)
+            foreign.append(_node_to_tree(c))
+        elif len(c) > 0:
+            _collect_ext(c, acc, None)
+
+
+def _node_to_tree(node) -> dict:
+    """XML element → lossless dict tree {tag, attrs?, text?, children?}."""
+    tag = node.tag.rsplit("}", 1)[-1]
+    out: dict = {"tag": tag}
+    if node.attrib:
+        out["attrs"] = dict(node.attrib)
+    if node.text and node.text.strip():
+        out["text"] = node.text.strip()
+    kids = [_node_to_tree(c) for c in node]
+    if kids:
+        out["children"] = kids
+    return out
+
+
+def _tree_to_xml(tree: dict) -> str:
+    attrs = "".join(
+        f' {k}="{_esc(str(v))}"' for k, v in sorted((tree.get("attrs") or {}).items())
+    )
+    inner = _esc(tree.get("text", "")) + "".join(
+        _tree_to_xml(c) for c in tree.get("children", [])
+    )
+    tag = tree["tag"]
+    return f"<{tag}{attrs}>{inner}</{tag}>" if inner else f"<{tag}{attrs}/>"
 
 
 def _parse_simple_point(node) -> dict | None:
@@ -256,6 +298,7 @@ def encode_gpx(
     lat = points["lat"].to_numpy(np.float64)
     lon = points["lon"].to_numpy(np.float64)
     ele = points["ele"].to_numpy(np.float64) if "ele" in points else np.full(ts.size, np.nan)
+    ext_col = points["ext"].tolist() if "ext" in points else None
     joined: dict[str, np.ndarray] = {}
     if channels is not None and len(channels):
         for ch, g in channels.groupby("channel", observed=True):
@@ -309,12 +352,23 @@ def encode_gpx(
                 tag = _TPX_TAGS.get(ch)
                 if tag is not None:
                     exts.append(f"<gpxtpx:{tag}>{_num(v)}</gpxtpx:{tag}>")
-            if exts:
-                parts.append(
-                    "<extensions><gpxtpx:TrackPointExtension>"
-                    + "".join(exts)
-                    + "</gpxtpx:TrackPointExtension></extensions>"
+            foreign_xml = ""
+            if ext_col is not None and isinstance(ext_col[i], str) and ext_col[i]:
+                import json as _json
+
+                foreign_xml = "".join(
+                    _tree_to_xml(t) for t in _json.loads(ext_col[i])
                 )
+            if exts or foreign_xml:
+                parts.append("<extensions>")
+                if exts:
+                    parts.append(
+                        "<gpxtpx:TrackPointExtension>"
+                        + "".join(exts)
+                        + "</gpxtpx:TrackPointExtension>"
+                    )
+                parts.append(foreign_xml)
+                parts.append("</extensions>")
             parts.append("</trkpt>\n")
         parts.append("</trkseg>\n")
     parts.append("</trk>\n</gpx>\n")

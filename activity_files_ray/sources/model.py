@@ -76,6 +76,9 @@ class ParsedActivity:
     # routes [{name?, points: [{lat, lon, ele?}]}] (models.dart:324-353)
     waypoints: list = field(default_factory=list)
     routes: list = field(default_factory=list)
+    # point index → JSON of foreign extension-node trees (the open
+    # ``ext`` column, SURVEY §1.2)
+    point_ext: dict = field(default_factory=dict)
     # diagnostics: (severity, code, message, path)
     diags: list = field(default_factory=list)
 
@@ -107,6 +110,7 @@ class ParsedActivity:
                 "ele": np.asarray(
                     [np.nan if e is None else e for e in self.ele], dtype=np.float64
                 ),
+                "ext": [self.point_ext.get(i) for i in range(len(self.ts_us))],
             }
         )
 

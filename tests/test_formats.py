@@ -471,3 +471,36 @@ class TestFitLengthsAndSets:
         assert int(ln["end_us"] - ln["start_us"]) == 30_000_000
         st = sdf[sdf["kind"] == "set"].iloc[0]
         assert int(st["end_us"] - st["start_us"]) == 30_000_000
+
+
+class TestGpxForeignExtensions:
+    def test_foreign_nodes_roundtrip(self):
+        payload = (
+            b'<gpx xmlns="http://www.topografix.com/GPX/1/1" '
+            b'xmlns:acme="http://acme.example/1"><trk><trkseg>'
+            b'<trkpt lat="40.0" lon="-105.0">'
+            b"<time>2024-04-01T06:00:00Z</time>"
+            b"<extensions>"
+            b'<acme:sensor kind="imu"><acme:axis>x</acme:axis></acme:sensor>'
+            b"</extensions></trkpt>"
+            b'<trkpt lat="40.0005" lon="-105.0005">'
+            b"<time>2024-04-01T06:00:05Z</time></trkpt>"
+            b"</trkseg></trk></gpx>"
+        )
+        parsed = gpx.parse_gpx(payload, "a1")
+        assert 0 in parsed.point_ext and 1 not in parsed.point_ext
+        pts = parsed.points_df()
+        assert pts["ext"].iloc[0] and pts["ext"].iloc[1] is None
+        # re-encode and re-parse: the foreign tree survives
+        p2 = gpx.encode_gpx(pts, None)
+        re = gpx.parse_gpx(p2, "a2")
+        assert re.point_ext.get(0) == parsed.point_ext[0]
+        assert "sensor" in re.point_ext[0] and '"kind":"imu"' in re.point_ext[0]
+        # byte-stable second hop
+        assert gpx.encode_gpx(re.points_df(), None) == p2
+
+    def test_tpx_channels_not_treated_as_foreign(self):
+        pts = canonical_points()
+        ch = canonical_channels()
+        parsed = gpx.parse_gpx(gpx.encode_gpx(pts, ch), "a1")
+        assert not parsed.point_ext  # TPX tags stay channels
