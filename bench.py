@@ -50,7 +50,7 @@ def _ensure_images() -> str:
     return IMAGES_CACHE
 
 
-POINTS_FILES = int(os.environ.get("GRAFT_BENCH_POINT_FILES", "512"))
+POINTS_FILES = int(os.environ.get("GRAFT_BENCH_POINT_FILES", "1024"))
 POINTS_ROWS_PER_FILE = int(os.environ.get("GRAFT_BENCH_POINT_ROWS", "50000"))
 POINTS_CACHE = f"/tmp/afr_bench_points_{POINTS_FILES}x{POINTS_ROWS_PER_FILE}"
 
@@ -314,7 +314,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEAVY="1",
-            GRAFT_BENCH_IMAGES=os.environ.get("GRAFT_BENCH_IMAGES", "12000"),
+            GRAFT_BENCH_IMAGES=os.environ.get("GRAFT_BENCH_IMAGES", "24000"),
         )
         best = None
         for _ in range(trials):
