@@ -119,3 +119,61 @@ def encode_group(df: pd.DataFrame, fmt: str, channels_by_id: dict | None = None)
     ch = (channels_by_id or {}).get(aid)
     payload = encode_activity(fmt, df, ch)
     return pd.DataFrame({"activity_id": [aid], "fmt": [fmt], "bytes": [payload]})
+
+
+# --- fused union-table parse (single decode for all outputs) -----------------
+
+UNION_KINDS = ("point", "channel", "span", "diag", "activity")
+
+
+def parse_batch_union(batch: pa.Table) -> pa.Table:
+    """Fused parse: decode each payload ONCE and emit every logical
+    table's rows tagged by ``kind`` in one union-schema table
+    (decode-bound corpora pay 1× decode instead of one pass per
+    output; split back with :func:`union_select`)."""
+    ids = batch["activity_id"].to_pylist()
+    payloads = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist() if "fmt" in batch.column_names else [None] * len(ids)
+    frames: list[pd.DataFrame] = []
+    for aid, data, f in zip(ids, payloads, fmts):
+        parsed = parse_payload(data, aid, f)
+        p = parsed.points_df().assign(kind="point")
+        c = parsed.channels_df().assign(kind="channel")
+        sp = parsed.spans_df().rename(columns={"kind": "span_kind"}).assign(kind="span")
+        d = parsed.diags_df().assign(kind="diag")
+        a = pd.DataFrame(
+            {
+                "activity_id": [aid],
+                "kind": "activity",
+                "fmt": [f or detect.detect_format(data)],
+                "sport": [parsed.sport],
+                "creator": [parsed.creator],
+                "name": [parsed.name],
+                "n_points": [len(parsed.ts_us)],
+            }
+        )
+        frames.extend(x for x in (p, c, sp, d, a) if len(x))
+    if not frames:
+        return pa.Table.from_pandas(pd.DataFrame({"kind": []}), preserve_index=False)
+    df = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+_UNION_COLUMNS = {
+    "point": ["activity_id", "seq", "ts_us", "lat", "lon", "ele", "ext"],
+    "channel": ["activity_id", "channel", "ts_us", "value"],
+    "span": ["activity_id", "span_kind", "start_us", "end_us", "sport", "dist_m"],
+    "diag": ["activity_id", "severity", "code", "message", "path"],
+    "activity": ["activity_id", "fmt", "sport", "creator", "name", "n_points"],
+}
+
+
+def union_select(union_ds, kind: str):
+    """Filter one logical table back out of a union-parse Dataset."""
+    cols = _UNION_COLUMNS[kind]
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["kind"] == kind]
+        return out[[c for c in cols if c in out.columns]]
+
+    return union_ds.map_batches(pick, batch_format="pandas", batch_size=None)

@@ -504,3 +504,36 @@ class TestGpxForeignExtensions:
         ch = canonical_channels()
         parsed = gpx.parse_gpx(gpx.encode_gpx(pts, ch), "a1")
         assert not parsed.point_ext  # TPX tags stay channels
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnionParse:
+    def test_union_equals_separate_passes(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        pts, ch = canonical_points(), canonical_channels()
+        payloads = pa.table(
+            {
+                "activity_id": ["g1", "f1"],
+                "bytes": [gpx.encode_gpx(pts, ch), fit_mod.encode_fit(pts, ch)],
+            }
+        )
+        ds = rd.from_arrow(payloads)
+        union = ds.map_batches(stage.parse_batch_union, batch_format="pyarrow", batch_size=None)
+        up = stage.union_select(union, "point").to_pandas()
+        sep = ds.map_batches(
+            stage.parse_batch, batch_format="pyarrow", fn_kwargs={"output": "points"}
+        ).to_pandas()
+        key = ["activity_id", "seq"]
+        up2 = up.sort_values(key).reset_index(drop=True)
+        sep2 = sep.sort_values(key).reset_index(drop=True)
+        assert up2["ts_us"].astype("int64").tolist() == sep2["ts_us"].astype("int64").tolist()
+        uc = stage.union_select(union, "channel").to_pandas()
+        sec = ds.map_batches(
+            stage.parse_batch, batch_format="pyarrow", fn_kwargs={"output": "channels"}
+        ).to_pandas()
+        assert len(uc) == len(sec)
+        ua = stage.union_select(union, "activity").to_pandas()
+        assert set(ua["activity_id"]) == {"g1", "f1"}
+        assert (ua["n_points"] == 3).all()

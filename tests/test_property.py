@@ -129,3 +129,44 @@ def test_span_rules_preserve_order_and_bounds(ts, lo, hi):
     assert (ne2[keep2] > ns2[keep2]).all()
     ns3, ne3 = nz.shift_spans_insert_pause(s, e, lo, 100)
     assert (ne3 >= ns3).all()
+
+
+def test_mutation_fuzz_parsers_never_throw():
+    """Deterministic mutation fuzz: flip/truncate/splice bytes of VALID
+    payloads in every format; parse must never raise (never-throw
+    contract under near-valid corruption, the hardest fuzz regime)."""
+    from activity_files_ray import fixtures
+
+    pts = fixtures.canonical_trackpoints().to_pandas()
+    pts["ts_us"] = pts["ts_us"].astype("int64")
+    ch = fixtures.canonical_channels().to_pandas().astype({"channel": str})
+    ch["ts_us"] = ch["ts_us"].astype("int64")
+    from activity_files_ray.sources import csv_fmt, geojson as gj, gpx as gp, tcx as tc
+    from activity_files_ray.sources import fit as fm
+
+    base = {
+        "gpx": gp.encode_gpx(pts, ch),
+        "tcx": tc.encode_tcx(pts, ch),
+        "csv": csv_fmt.encode_csv(pts, ch),
+        "geojson": gj.encode_geojson(pts, ch, mode="points"),
+        "fit": fm.encode_fit(pts, ch),
+    }
+    rng = np.random.default_rng(1234)
+    for fmt, payload in base.items():
+        for trial in range(200):
+            data = bytearray(payload)
+            op = trial % 4
+            if op == 0:  # flip 1-4 bytes
+                for _ in range(int(rng.integers(1, 5))):
+                    data[int(rng.integers(0, len(data)))] ^= int(rng.integers(1, 256))
+            elif op == 1:  # truncate
+                data = data[: int(rng.integers(0, len(data)))]
+            elif op == 2:  # splice random garbage
+                at = int(rng.integers(0, len(data)))
+                data = data[:at] + bytes(rng.integers(0, 256, 8, dtype=np.uint8)) + data[at:]
+            else:  # duplicate a slice
+                a = int(rng.integers(0, len(data)))
+                b = min(len(data), a + int(rng.integers(1, 64)))
+                data = data[:a] + data[a:b] + data[a:]
+            parsed = stage.parse_payload(bytes(data), f"fz_{fmt}_{trial}", fmt)
+            assert isinstance(parsed.diags, list)  # reached without raising
