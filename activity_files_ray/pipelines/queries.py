@@ -1238,6 +1238,58 @@ def q_image_phash_dedup(sf_dir: str):
     return grouped[["image_id", "n_copies"]]
 
 
+def q_distinct_counts(sf_dir: str):
+    """Global distinct counts (O-set coverage: unique/distinct as the
+    groupby-size pattern) — single-row output."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    users = agg.tree_aggregate(
+        ds.select_columns(["user_id"]), ["user_id"], {"n": ("", "count")}
+    )
+    types = agg.tree_aggregate(
+        ds.select_columns(["event_type"]), ["event_type"], {"n": ("", "count")}
+    )
+    return pd.DataFrame(
+        {"n_users": [np.int64(len(users))], "n_types": [np.int64(len(types))]}
+    )
+
+
+SQL_DISTINCT_COUNTS = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+"""
+
+
+def q_global_ts_window(sf_dir: str):
+    """Global min/max aggregate without a groupby (A8 window bounds)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "one": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "ts_us": pa.array(t),
+            }
+        )
+
+    out = agg.tree_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["one"],
+        {"min_ts_us": ("ts_us", "min"), "max_ts_us": ("ts_us", "max"),
+         "n": ("", "count")},
+    )
+    return out[["min_ts_us", "max_ts_us", "n"]]
+
+
+SQL_GLOBAL_TS_WINDOW = """
+SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+"""
+
+
 def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """The headline spatial pipeline (driver smoke check / bench):
     derive trackpoints → vectorized cell encode → broadcast PIP join
@@ -1310,4 +1362,6 @@ QUERIES: dict[str, tuple] = {
     "order_status_priority": (q_order_status_priority, SQL_ORDER_STATUS_PRIORITY),
     "knn3_poi": (q_knn3_poi, SQL_KNN3_POI),
     "image_phash_dedup": (q_image_phash_dedup, None),
+    "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "global_ts_window": (q_global_ts_window, SQL_GLOBAL_TS_WINDOW),
 }

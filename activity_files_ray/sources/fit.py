@@ -601,7 +601,29 @@ def encode_fit(
     # session definition (local 2): start_time(2) u32, total_elapsed(7)
     # u32 ms, total_distance(9) u32 cm, sport(5) enum
     body += bytes([0x42, 0, 0, 18, 0, 4, 2, 4, 0x86, 7, 4, 0x86, 9, 4, 0x86, 5, 1, 0x00])
-    if ts.size:
+    explicit_sessions = (
+        spans[spans["kind"] == "session"]
+        if spans is not None and len(spans) and "kind" in spans.columns
+        else None
+    )
+    if explicit_sessions is not None and len(explicit_sessions):
+        # multi-session files (additionalSessions analog,
+        # models.dart:1253): one session message per span row
+        for _, r in explicit_sessions.iterrows():
+            s_us, e_us = int(r["start_us"]), int(r["end_us"])
+            body += bytes([0x02])
+            body += struct.pack("<I", ((s_us - FIT_EPOCH_US) // 1_000_000) & 0xFFFFFFFF)
+            body += struct.pack("<I", ((e_us - s_us) // 1000) & 0xFFFFFFFF)
+            dist = r.get("dist_m")
+            body += struct.pack(
+                "<I",
+                0xFFFFFFFF
+                if dist is None or not np.isfinite(dist)
+                else int(round(float(dist) * 100)) & 0xFFFFFFFF,
+            )
+            sp_v = r.get("sport")
+            body += bytes([_SPORT_TO_ENUM.get(sp_v if isinstance(sp_v, str) else "", 0)])
+    elif ts.size:
         start_fit = (int(ts[0]) - FIT_EPOCH_US) // 1_000_000
         elapsed_ms = int((ts[-1] - ts[0]) // 1000)
         dist_vals = ch.get("distance", {})

@@ -537,3 +537,26 @@ class TestUnionParse:
         ua = stage.union_select(union, "activity").to_pandas()
         assert set(ua["activity_id"]) == {"g1", "f1"}
         assert (ua["n_points"] == 3).all()
+
+
+class TestFitMultiSession:
+    def test_explicit_sessions_roundtrip(self):
+        pts = canonical_points()
+        t0 = int(pts["ts_us"].iloc[0])
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"] * 2,
+                "kind": ["session", "session"],
+                "start_us": [t0, t0 + 3_600_000_000],
+                "end_us": [t0 + 1_800_000_000, t0 + 5_400_000_000],
+                "sport": ["swimming", "cycling"],
+                "dist_m": [750.0, 20000.0],
+            }
+        )
+        payload = fit_mod.encode_fit(pts, None, spans=spans)
+        parsed = fit_mod.parse_fit(payload, "a1")
+        sdf = parsed.spans_df()
+        sessions = sdf[sdf["kind"] == "session"].sort_values("start_us")
+        assert len(sessions) == 2  # multi-session (additionalSessions)
+        assert sessions["sport"].tolist() == ["swimming", "cycling"]
+        assert sessions["dist_m"].tolist() == [750.0, 20000.0]
