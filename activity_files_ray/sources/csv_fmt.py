@@ -50,6 +50,9 @@ def parse_csv(data: bytes, activity_id: str) -> ParsedActivity:
     except StopIteration:
         out.diag("error", "csv.parse.empty", "no header row", "")
         return out
+    except csv.Error as e:  # e.g. bare \r in an unquoted field
+        out.diag("error", "csv.parse.malformed", str(e), "")
+        return out
     norm = [h.strip().lower() for h in header]
     roles: list[str] = []
     for h in norm:
@@ -62,7 +65,17 @@ def parse_csv(data: bytes, activity_id: str) -> ParsedActivity:
     if "time" not in roles:
         out.diag("error", "csv.parse.missing_time_column", str(header), "")
         return out
-    for rownum, row in enumerate(reader, start=2):
+    rownum = 1
+    while True:
+        rownum += 1
+        try:
+            row = next(reader)
+        except StopIteration:
+            break
+        except csv.Error as e:
+            out.diag("warning", "csv.row.malformed", f"row {rownum}: {e}",
+                     f"rows[{rownum}]")
+            continue
         if not row or all(not c.strip() for c in row):
             continue
         vals = dict(zip(roles, row))
