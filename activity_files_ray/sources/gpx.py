@@ -58,7 +58,8 @@ def parse_gpx(data: bytes, activity_id: str) -> ParsedActivity:
     out = ParsedActivity(activity_id)
     try:
         root = ET.fromstring(data)
-    except ET.ParseError as e:
+    except (ET.ParseError, LookupError, ValueError) as e:
+        # LookupError: corrupted encoding= declaration (fuzz-found)
         out.diag("error", "gpx.parse.invalid_xml", str(e), "")
         return out
     if _local(root.tag) != "gpx":

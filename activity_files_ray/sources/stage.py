@@ -57,7 +57,13 @@ def parse_payload(data: bytes, activity_id: str, fmt: str | None = None) -> Pars
         out = ParsedActivity(activity_id)
         out.diag("error", "parse.unknown_format", f"format {f!r}", "")
         return out
-    return parser(data, activity_id)
+    try:
+        return parser(data, activity_id)
+    except Exception as e:  # noqa: BLE001 — the never-throw boundary:
+        # a parser bug must cost one diagnostic row, never a corpus run
+        out = ParsedActivity(activity_id)
+        out.diag("error", "parse.internal_error", f"{type(e).__name__}: {e}", f)
+        return out
 
 
 def parse_batch(batch: pa.Table, output: str = "points") -> pa.Table:

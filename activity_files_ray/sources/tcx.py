@@ -41,7 +41,8 @@ def parse_tcx(data: bytes, activity_id: str) -> ParsedActivity:
     out = ParsedActivity(activity_id)
     try:
         root = ET.fromstring(data)
-    except ET.ParseError as e:
+    except (ET.ParseError, LookupError, ValueError) as e:
+        # LookupError: corrupted encoding= declaration (fuzz-found)
         out.diag("error", "tcx.parse.invalid_xml", str(e), "")
         return out
     if _local(root.tag) != "TrainingCenterDatabase":
@@ -150,12 +151,12 @@ def _parse_trackpoint(tp, out: ParsedActivity) -> None:
         elif loc == "Extensions":
             for tpx in c.iter():
                 tl = _local(tpx.tag)
-                if tl == "Speed" and tpx.text:
-                    samples.append(("speed", float(tpx.text)))
-                elif tl == "Watts" and tpx.text:
-                    samples.append(("power", float(tpx.text)))
-                elif tl == "RunCadence" and tpx.text:
-                    samples.append(("cadence", float(tpx.text)))
+                name = {"Speed": "speed", "Watts": "power", "RunCadence": "cadence"}.get(tl)
+                if name and tpx.text:
+                    try:
+                        samples.append((name, float(tpx.text)))
+                    except ValueError:
+                        pass
     if ts is None:
         out.diag(
             "warning", "tcx.point.missing_time",
