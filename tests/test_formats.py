@@ -560,3 +560,28 @@ class TestFitMultiSession:
         assert len(sessions) == 2  # multi-session (additionalSessions)
         assert sessions["sport"].tolist() == ["swimming", "cycling"]
         assert sessions["dist_m"].tolist() == [750.0, 20000.0]
+
+
+class TestEncoderEdgeCases:
+    """Encoders under degenerate inputs: empty track, single point,
+    extreme-but-valid values — must emit parseable payloads."""
+
+    def _check(self, pts, ch=None):
+        for fmt in ("gpx", "tcx", "csv", "geojson", "fit"):
+            payload = stage.encode_activity(fmt, pts, ch)
+            parsed = stage.parse_payload(payload, "e", fmt)
+            assert len(parsed.ts_us) == len(pts), fmt
+
+    def test_empty_track(self):
+        self._check(canonical_points().iloc[0:0])
+
+    def test_single_point(self):
+        self._check(canonical_points().iloc[0:1])
+
+    def test_extreme_coordinates(self):
+        pts = canonical_points()
+        pts.loc[0, "lat"] = 89.9999999
+        pts.loc[0, "lon"] = -179.9999999
+        pts.loc[1, "lat"] = -89.9999999
+        pts.loc[2, "ele"] = 8848.86
+        self._check(pts)
