@@ -39,22 +39,35 @@ def _fnv1a64(s: str) -> int:
 
 
 
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant
+
+
 def shingle_set(text: str, k: int = 3) -> np.ndarray:
     """Sorted unique shingle hashes of a document (exact-Jaccard
-    ground truth and MinHash input)."""
+    ground truth and MinHash input).
+
+    Token hashes are FNV-1a (deterministic across processes); k-token
+    shingle hashes combine them with a vectorized rolling mix — the
+    per-character Python loop runs once per TOKEN, not per shingle
+    (was the minhash hot spot: 25× fewer Python-level hash bytes).
+    """
     toks = text.split()
     if not toks:
         return np.zeros(1, dtype=np.uint64)
-    if len(toks) < k:
-        joined = ["\x1f".join(toks)]
-    else:
-        joined = ["\x1f".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.fromiter(
-        (_fnv1a64(s) & 0x7FFFFFFFFFFFFFFF for s in joined),
-        dtype=np.uint64,
-        count=len(joined),
+    th = np.fromiter(
+        (_fnv1a64(t) for t in toks), dtype=np.uint64, count=len(toks)
     )
-    return np.unique(out)
+    if len(toks) < k:
+        acc = th[0]
+        for x in th[1:]:
+            acc = (acc * _SHINGLE_MIX) ^ x
+        out = np.asarray([acc & np.uint64(0x7FFFFFFFFFFFFFFF)], dtype=np.uint64)
+        return out
+    n = len(toks) - k + 1
+    acc = th[:n].copy()
+    for j in range(1, k):
+        acc = (acc * _SHINGLE_MIX) ^ th[j : j + n]
+    return np.unique(acc & np.uint64(0x7FFFFFFFFFFFFFFF))
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -70,24 +83,22 @@ def _fast_minhash_matrix(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> 
     intermediate product stays below 2^62 before reduction mod the
     Mersenne prime p = 2^61 − 1."""
     P = np.uint64(_MERSENNE)
-    x = (shingles.astype(np.uint64) % P)
-    xh = x >> np.uint64(31)
-    xl = x & np.uint64((1 << 31) - 1)
+    x = shingles.astype(np.uint64) % P
+    xh = (x >> np.uint64(31))[None, :]
+    xl = (x & np.uint64((1 << 31) - 1))[None, :]
     t2_31 = np.uint64(1 << 31) % P
     t2_62 = (t2_31 * t2_31) % P
-    out = np.empty((a.size, x.size), dtype=np.uint64)
-    for i in range(a.size):
-        ai = a[i] % P
-        aih = ai >> np.uint64(31)
-        ail = ai & np.uint64((1 << 31) - 1)
-        p1 = (aih * xh) % P
-        p2 = (aih * xl + ail * xh) % P
-        p3 = (ail * xl) % P
-        t = (p1 * t2_62) % P
-        t = (t + (p2 * t2_31) % P) % P
-        t = (t + p3) % P
-        out[i] = (t + b[i] % P) % P
-    return out
+    ai = (a % P)[:, None]
+    aih = ai >> np.uint64(31)
+    ail = ai & np.uint64((1 << 31) - 1)
+    # fully broadcast (n_perm × n_shingles): each product < 2^62
+    p1 = (aih * xh) % P
+    p2 = (aih * xl + ail * xh) % P
+    p3 = (ail * xl) % P
+    t = (p1 * t2_62) % P
+    t = (t + (p2 * t2_31) % P) % P
+    t = (t + p3) % P
+    return (t + (b % P)[:, None]) % P
 
 
 class FastMinHasher:
@@ -159,7 +170,15 @@ def _pairs_from_buckets(bucket_df: pd.DataFrame, max_bucket: int = 64) -> set[tu
     ``max_bucket`` are skipped with the cap logged by the caller
     (degenerate buckets are hash-collision storms, not near-dups)."""
     pairs: set[tuple] = set()
-    for _, g in bucket_df.groupby("band_key"):
+    # prune to multi-member buckets BEFORE the Python group loop —
+    # almost all buckets are singletons and iterating them dominated
+    # the driver fold
+    counts = bucket_df["band_key"].value_counts()
+    multi = counts[(counts >= 2) & (counts <= max_bucket)].index
+    if len(multi) == 0:
+        return pairs
+    sub = bucket_df[bucket_df["band_key"].isin(multi)]
+    for _, g in sub.groupby("band_key"):
         ids = sorted(set(g["doc_id"]))
         if len(ids) < 2 or len(ids) > max_bucket:
             continue

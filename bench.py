@@ -257,12 +257,22 @@ def run_bench() -> dict:
             "raster_tiling": N_BENCH_IMAGES,
         }
     else:
+        def bench_minhash():
+            from activity_files_ray.pipelines import dedup
+
+            docs = rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            )
+            clusters, _pairs = dedup.minhash_dedup(docs, threshold=0.8)
+            return clusters
+
         timed = {
             "flagship_pip_tiles": lambda: q.flagship_spatial(SF_DIR),
             "cell_counts": lambda: q.q_cell_counts(SF_DIR),
             "knn_poi": lambda: q.q_knn_poi(SF_DIR),
             "raster_tiling": bench_raster_tiling,
             "convert_corpus": bench_convert_corpus,
+            "minhash_dedup": bench_minhash,
             "pricing_summary": lambda: q.q_pricing_summary(SF_DIR),
             "events_hourly": lambda: q.q_events_hourly(SF_DIR),
             "doc_token_stats": lambda: q.q_doc_token_stats(SF_DIR),
@@ -275,6 +285,7 @@ def run_bench() -> dict:
             "knn_poi": n_events // q.KNN_SUBSET_MOD,
             "raster_tiling": N_BENCH_IMAGES,
             "convert_corpus": 2000,
+            "minhash_dedup": pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows,
             "pricing_summary": n_lineitem,
             "events_hourly": n_events,
             "doc_token_stats": pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows,
