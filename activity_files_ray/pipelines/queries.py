@@ -1290,6 +1290,29 @@ FROM events
 """
 
 
+def q_pip_grid_counts(sf_dir: str):
+    """PIP join against the production-scale polygon corpus (288
+    world-tiling convex regions, ~38% match rate) → per-region counts.
+    Rows-only: generating 288 × ~7 half-plane SQL predicates is
+    possible but pointless — the 4-region `pip_regions` oracle proves
+    the kernel; this query proves the corpus-scale index path."""
+    import ray
+
+    from .. import fixtures
+
+    idx_ref = ray.put(polygons.PolygonIndex(fixtures.make_region_grid()))
+    pts = _derived_points_ds(sf_dir, with_cd=False)
+    joined = pts.map_batches(
+        stages.pip_join_batch,
+        fn_kwargs={"index_ref": idx_ref},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return agg.tree_aggregate(
+        joined.select_columns(["region_id"]), ["region_id"], {"n": ("", "count")}
+    )
+
+
 def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """The headline spatial pipeline (driver smoke check / bench):
     derive trackpoints → vectorized cell encode → broadcast PIP join
@@ -1364,4 +1387,5 @@ QUERIES: dict[str, tuple] = {
     "image_phash_dedup": (q_image_phash_dedup, None),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "global_ts_window": (q_global_ts_window, SQL_GLOBAL_TS_WINDOW),
+    "pip_grid_counts": (q_pip_grid_counts, None),
 }

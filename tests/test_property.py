@@ -170,3 +170,28 @@ def test_mutation_fuzz_parsers_never_throw():
                 data = data[:a] + data[a:b] + data[a:]
             parsed = stage.parse_payload(bytes(data), f"fz_{fmt}_{trial}", fmt)
             assert isinstance(parsed.diags, list)  # reached without raising
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**12), finite_lat, finite_lon),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_tcx_roundtrip_arbitrary_tracks(rows):
+    from activity_files_ray.sources import tcx
+
+    rows = sorted(rows)
+    df = _points_df(*(list(x) for x in zip(*rows)))
+    df["lat"] = df["lat"].round(7)
+    df["lon"] = df["lon"].round(7)
+    payload = tcx.encode_tcx(df, None, sport="running")
+    parsed = tcx.parse_tcx(payload, "a")
+    got = parsed.points_df()
+    assert len(got) == len(df)
+    np.testing.assert_array_equal(got["ts_us"].to_numpy(), df["ts_us"].to_numpy())
+    np.testing.assert_allclose(got["lat"], df["lat"], atol=5e-8)
+    np.testing.assert_allclose(got["lon"], df["lon"], atol=5e-8)
