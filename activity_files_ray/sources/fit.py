@@ -424,11 +424,21 @@ def _emit_span(vals: dict, kind: str, out: ParsedActivity) -> None:
     )
     dist = vals.get(9)
     sp = vals.get(5) if kind == "session" else vals.get(25)
+    stats: dict = {}
+    if isinstance(vals.get(11), int):
+        stats["calories"] = float(vals[11])  # total_calories kcal
+    if isinstance(vals.get(15), int):
+        stats["avg_hr"] = float(vals[15])
+    if isinstance(vals.get(16), int):
+        stats["max_hr"] = float(vals[16])
+    while len(out.span_stats) < len(out.span_kind):
+        out.span_stats.append({})
     out.span_kind.append(kind)
     out.span_start_us.append(s_us)
     out.span_end_us.append(e_us)
     out.span_sport.append(_SPORT_ENUM.get(sp) if isinstance(sp, int) else None)
     out.span_dist_m.append(dist / 100.0 if isinstance(dist, (int, float)) else None)
+    out.span_stats.append(stats)
 
 
 # --- encoder -----------------------------------------------------------------
@@ -553,9 +563,20 @@ def encode_fit(
         laps = spans[spans["kind"] == "lap"] if "kind" in spans.columns else spans
         if len(laps):
             # lap def: start_time(2) u32, total_elapsed(7) u32 ms,
-            # total_distance(9) u32 cm, sport(25) enum
-            body += bytes([0x43, 0, 0, 19, 0, 4, 2, 4, 0x86, 7, 4, 0x86,
-                           9, 4, 0x86, 25, 1, 0x00])
+            # total_distance(9) u32 cm, sport(25) enum,
+            # total_calories(11) u16, avg_hr(15) u8, max_hr(16) u8
+            body += bytes([0x43, 0, 0, 19, 0, 7, 2, 4, 0x86, 7, 4, 0x86,
+                           9, 4, 0x86, 25, 1, 0x00, 11, 2, 0x84,
+                           15, 1, 0x02, 16, 1, 0x02])
+
+            def _stat_int(r, key, invalid):
+                v = r.get(key)
+                try:
+                    fv = float(v)
+                except (TypeError, ValueError):
+                    return invalid
+                return int(round(fv)) if np.isfinite(fv) else invalid
+
             for _, r in laps.iterrows():
                 s_us, e_us = int(r["start_us"]), int(r["end_us"])
                 body += bytes([0x03])
@@ -570,6 +591,9 @@ def encode_fit(
                 )
                 sp = r.get("sport")
                 body += bytes([_SPORT_TO_ENUM.get(sp if isinstance(sp, str) else "", 0)])
+                body += struct.pack("<H", min(0xFFFE, _stat_int(r, "calories", 0xFFFF)) if _stat_int(r, "calories", -1) >= 0 else 0xFFFF)
+                body += bytes([min(0xFE, _stat_int(r, "avg_hr", 0xFF)) if _stat_int(r, "avg_hr", -1) >= 0 else 0xFF])
+                body += bytes([min(0xFE, _stat_int(r, "max_hr", 0xFF)) if _stat_int(r, "max_hr", -1) >= 0 else 0xFF])
         lengths = spans[spans["kind"] == "length"] if "kind" in spans.columns else spans.iloc[0:0]
         if len(lengths):
             # length def (local 7): start_time(2) u32, total_elapsed(3) u32 ms

@@ -65,6 +65,7 @@ class ParsedActivity:
     span_end_us: list = field(default_factory=list)
     span_sport: list = field(default_factory=list)
     span_dist_m: list = field(default_factory=list)  # None allowed
+    span_stats: list = field(default_factory=list)  # dict per span (may lag; padded)
     # activity-level
     sport: str | None = None
     creator: str | None = None
@@ -142,6 +143,16 @@ class ParsedActivity:
                     [np.nan if d is None else d for d in self.span_dist_m],
                     dtype=np.float64,
                 ),
+                **{
+                    col: np.asarray(
+                        [
+                            (self.span_stats[i].get(col) if i < len(self.span_stats) and self.span_stats[i] else np.nan)
+                            for i in range(len(self.span_kind))
+                        ],
+                        dtype=np.float64,
+                    )
+                    for col in ("calories", "avg_hr", "max_hr")
+                },
             }
         )
 

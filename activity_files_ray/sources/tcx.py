@@ -77,6 +77,7 @@ def _parse_lap(lap, sport: str | None, out: ParsedActivity) -> None:
     start = iso_to_us(lap.get("StartTime") or "")
     total_s = None
     dist = None
+    stats: dict = {}
     for child in lap:
         loc = _local(child.tag)
         if loc == "TotalTimeSeconds" and child.text:
@@ -89,6 +90,19 @@ def _parse_lap(lap, sport: str | None, out: ParsedActivity) -> None:
                 dist = float(child.text)
             except ValueError:
                 pass
+        elif loc == "Calories" and child.text:
+            try:
+                stats["calories"] = float(child.text)
+            except ValueError:
+                pass
+        elif loc in ("AverageHeartRateBpm", "MaximumHeartRateBpm"):
+            for v in child:
+                if _local(v.tag) == "Value" and v.text:
+                    try:
+                        key = "avg_hr" if loc.startswith("Average") else "max_hr"
+                        stats[key] = float(v.text)
+                    except ValueError:
+                        pass
         elif loc == "Track":
             seg_start = len(out.ts_us)
             n0 = len(out.ts_us)
@@ -99,11 +113,14 @@ def _parse_lap(lap, sport: str | None, out: ParsedActivity) -> None:
                 out.segment_starts.append(seg_start)
     if start is not None:
         end = start + int((total_s or 0.0) * 1e6)
+        while len(out.span_stats) < len(out.span_kind):
+            out.span_stats.append({})
         out.span_kind.append("lap")
         out.span_start_us.append(start)
         out.span_end_us.append(end)
         out.span_sport.append(sport)
         out.span_dist_m.append(dist)
+        out.span_stats.append(stats)
     else:
         out.diag("warning", "tcx.lap.missing_start", "lap without StartTime", "laps")
 
@@ -197,7 +214,14 @@ def encode_tcx(
                 ts, g["ts_us"].to_numpy(np.int64), g["value"].to_numpy(np.float64),
                 tolerance_us,
             )
-    laps: list[tuple[int, int, str | None, float | None]] = []
+    def _stat(r, key):
+        v = r.get(key)
+        try:
+            return float(v) if v is not None and np.isfinite(float(v)) else None
+        except (TypeError, ValueError):
+            return None
+
+    laps: list[tuple] = []
     if spans is not None and len(spans):
         lp = spans[spans["kind"] == "lap"] if "kind" in spans.columns else spans
         for _, r in lp.iterrows():
@@ -205,11 +229,12 @@ def encode_tcx(
                 (
                     int(r["start_us"]), int(r["end_us"]),
                     r.get("sport") if isinstance(r.get("sport"), str) else None,
-                    float(r["dist_m"]) if "dist_m" in r and np.isfinite(r["dist_m"]) else None,
+                    _stat(r, "dist_m"),
+                    _stat(r, "calories"), _stat(r, "avg_hr"), _stat(r, "max_hr"),
                 )
             )
     if not laps and ts.size:
-        laps = [(int(ts[0]), int(ts[-1]), sport, None)]  # tcx_encoder.dart:37-46
+        laps = [(int(ts[0]), int(ts[-1]), sport, None, None, None, None)]  # tcx_encoder.dart:37-46
     # group consecutive same-sport laps into one Activity each
     groups: list[list[tuple]] = []
     for lap in laps:
@@ -226,13 +251,23 @@ def encode_tcx(
         gsport = _SPORT_TO_TCX.get((grp[0][2] or sport or "other"), "Other")
         start_iso = us_to_iso(grp[0][0])
         parts.append(f'<Activity Sport="{gsport}"><Id>{start_iso}</Id>\n')
-        for s_us, e_us, _sp, dist in grp:
+        for s_us, e_us, _sp, dist, cal, ahr, mhr in grp:
             parts.append(
                 f'<Lap StartTime="{us_to_iso(s_us)}">'
                 f"<TotalTimeSeconds>{(e_us - s_us) / 1e6:.1f}</TotalTimeSeconds>"
             )
             if dist is not None:
                 parts.append(f"<DistanceMeters>{dist:.1f}</DistanceMeters>")
+            if cal is not None:
+                parts.append(f"<Calories>{int(round(cal))}</Calories>")
+            if ahr is not None:
+                parts.append(
+                    f"<AverageHeartRateBpm><Value>{int(round(ahr))}</Value></AverageHeartRateBpm>"
+                )
+            if mhr is not None:
+                parts.append(
+                    f"<MaximumHeartRateBpm><Value>{int(round(mhr))}</Value></MaximumHeartRateBpm>"
+                )
             parts.append("<Track>\n")
             in_lap = (ts >= s_us) & (ts <= e_us)  # J3 containment join
             for i in np.nonzero(in_lap)[0]:

@@ -585,3 +585,46 @@ class TestEncoderEdgeCases:
         pts.loc[1, "lat"] = -89.9999999
         pts.loc[2, "ele"] = 8848.86
         self._check(pts)
+
+
+class TestLapStats:
+    def _spans(self, pts):
+        return pd.DataFrame(
+            {
+                "activity_id": ["act_000000"],
+                "kind": ["lap"],
+                "start_us": [int(pts["ts_us"].iloc[0])],
+                "end_us": [int(pts["ts_us"].iloc[2])],
+                "sport": ["cycling"],
+                "dist_m": [150.0],
+                "calories": [42.0],
+                "avg_hr": [142.0],
+                "max_hr": [151.0],
+            }
+        )
+
+    def test_tcx_lap_stats_roundtrip(self):
+        pts = canonical_points()
+        payload = tcx.encode_tcx(pts, None, self._spans(pts), sport="cycling")
+        sdf = tcx.parse_tcx(payload, "a").spans_df()
+        lap = sdf[sdf["kind"] == "lap"].iloc[0]
+        assert lap["calories"] == 42.0
+        assert lap["avg_hr"] == 142.0 and lap["max_hr"] == 151.0
+
+    def test_fit_lap_stats_roundtrip(self):
+        pts = canonical_points()
+        payload = fit_mod.encode_fit(pts, None, spans=self._spans(pts))
+        parsed = fit_mod.parse_fit(payload, "a")
+        assert not [d for d in parsed.diags if d[0] == "error"]
+        sdf = parsed.spans_df()
+        lap = sdf[sdf["kind"] == "lap"].iloc[0]
+        assert lap["calories"] == 42.0
+        assert lap["avg_hr"] == 142.0 and lap["max_hr"] == 151.0
+
+    def test_missing_stats_are_nan(self):
+        pts = canonical_points()
+        spans = self._spans(pts).drop(columns=["calories", "avg_hr", "max_hr"])
+        payload = fit_mod.encode_fit(pts, None, spans=spans)
+        sdf = fit_mod.parse_fit(payload, "a").spans_df()
+        lap = sdf[sdf["kind"] == "lap"].iloc[0]
+        assert np.isnan(lap["calories"]) and np.isnan(lap["avg_hr"])
