@@ -89,7 +89,36 @@ def parse_gpx(data: bytes, activity_id: str) -> ParsedActivity:
             if w in _SPORT_WORDS:
                 out.sport = _SPORT_WORDS[w]
                 break
+    _add_segment_pseudo_laps(out)
     return out
+
+
+def _add_segment_pseudo_laps(out: ParsedActivity) -> None:
+    """Per-segment pseudo-laps with haversine distance (the
+    reference's GPX lap synthesis, gpx_parser.dart:320-329 / A3):
+    each trkseg becomes one lap span spanning its points."""
+    if len(out.segment_starts) < 2:
+        return  # single segment: no pseudo-laps (whole track is one)
+    from ..functions import geo
+
+    bounds = sorted(out.segment_starts) + [len(out.ts_us)]
+    lat = np.asarray(out.lat, dtype=np.float64)
+    lon = np.asarray(out.lon, dtype=np.float64)
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        if hi - lo < 1:
+            continue
+        seg_d = float(
+            geo.haversine_m(lat[lo : hi - 1], lon[lo : hi - 1], lat[lo + 1 : hi], lon[lo + 1 : hi]).sum()
+        ) if hi - lo > 1 else 0.0
+        while len(out.span_stats) < len(out.span_kind):
+            out.span_stats.append({})
+        out.span_kind.append("lap")
+        out.span_start_us.append(int(out.ts_us[lo]))
+        out.span_end_us.append(int(out.ts_us[hi - 1]))
+        out.span_sport.append(out.sport)
+        out.span_dist_m.append(seg_d)
+        out.span_stats.append({})
 
 
 def _parse_trk(trk, out: ParsedActivity) -> None:

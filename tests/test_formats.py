@@ -628,3 +628,20 @@ class TestLapStats:
         sdf = fit_mod.parse_fit(payload, "a").spans_df()
         lap = sdf[sdf["kind"] == "lap"].iloc[0]
         assert np.isnan(lap["calories"]) and np.isnan(lap["avg_hr"])
+
+
+class TestGpxSegmentPseudoLaps:
+    def test_two_segments_two_laps(self):
+        pts = canonical_points()
+        payload = gpx.encode_gpx(pts, None, segment_starts=[0, 2])
+        parsed = gpx.parse_gpx(payload, "a1")
+        sdf = parsed.spans_df()
+        laps = sdf[sdf["kind"] == "lap"]
+        assert len(laps) == 2  # one pseudo-lap per trkseg
+        assert laps["dist_m"].iloc[0] > 60  # seg 1: two ~70m points
+        assert laps["dist_m"].iloc[1] == 0.0  # seg 2: single point
+
+    def test_single_segment_no_pseudo_laps(self):
+        pts = canonical_points()
+        parsed = gpx.parse_gpx(gpx.encode_gpx(pts, None), "a1")
+        assert not (parsed.spans_df()["kind"] == "lap").any()
