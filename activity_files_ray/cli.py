@@ -105,9 +105,15 @@ def _validate(args) -> int:
     if len(pts):
         import pandas as pd
 
-        diags = pd.concat(
-            [diags, vd.validate_points_group(pts)], ignore_index=True
-        )
+        frames = [diags, vd.validate_points_group(pts)]
+        window = (int(pts["ts_us"].min()), int(pts["ts_us"].max()))
+        ch = parsed.channels_df()
+        if len(ch):
+            frames.append(vd.validate_channels_group(ch, window))
+        sp = parsed.spans_df()
+        if len(sp):
+            frames.append(vd.validate_spans_group(sp, window))
+        diags = pd.concat(frames, ignore_index=True)
     for _, d in diags.iterrows():
         print(f"[{d['severity']}] {d['code']}: {d['message']}")
     n_err = int((diags["severity"] == "error").sum()) if len(diags) else 0

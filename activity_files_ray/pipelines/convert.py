@@ -139,6 +139,12 @@ def convert_one(
     ))
     channels = parsed.channels_df()
     spans = parsed.spans_df()
+    if len(fixed):
+        window = (int(fixed["ts_us"].min()), int(fixed["ts_us"].max()))
+        if len(channels):
+            diags.append(vd.validate_channels_group(channels, window))
+        if len(spans):
+            diags.append(vd.validate_spans_group(spans, window))
     extra: dict = {}
     if to_fmt == "tcx":
         extra = {"spans": spans, "sport": parsed.sport}
