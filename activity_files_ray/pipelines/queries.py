@@ -546,7 +546,14 @@ def q_knn_poi(sf_dir: str, subset_mod: int = KNN_SUBSET_MOD, repeat: int = 1, po
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
     pk = np.asarray(part["p_partkey"], dtype=np.int64)
     plat_cd, plon_cd = poi_latlon_cd(pk)
-    index = knn.PoiIndex(pk, plat_cd / 100.0, plon_cd / 100.0, level=POI_INDEX_LEVEL)
+    # centidegree metric space: distances compare as EXACT integers,
+    # so ties break identically to the SQL oracle (degree floats can
+    # order two int-metric ties differently — found by the 10x gate)
+    index = knn.PoiIndex(
+        pk, plat_cd / 100.0, plon_cd / 100.0, level=POI_INDEX_LEVEL,
+        metric_lat=plat_cd.astype(np.float64), metric_lon=plon_cd.astype(np.float64),
+        metric_scale=100.0,
+    )
     idx_ref = ray.put(index)
     # broadcast centidegree lookup (sorted by partkey for searchsorted)
     order = np.argsort(pk)
@@ -559,7 +566,8 @@ def q_knn_poi(sf_dir: str, subset_mod: int = KNN_SUBSET_MOD, repeat: int = 1, po
     pts = _derived_points_ds(sf_dir, repeat, points_path).map_batches(subset, batch_format="pyarrow", batch_size=None)
     joined = pts.map_batches(
         stages.knn_join_batch,
-        fn_kwargs={"index_ref": idx_ref},
+        fn_kwargs={"index_ref": idx_ref,
+                   "metric_lat_col": "lat_cd", "metric_lon_col": "lon_cd"},
         batch_format="pyarrow",
         batch_size=None,
     )
@@ -1163,7 +1171,11 @@ def q_knn3_poi(sf_dir: str):
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
     pk = np.asarray(part["p_partkey"], dtype=np.int64)
     plat_cd, plon_cd = poi_latlon_cd(pk)
-    index = knn.PoiIndex(pk, plat_cd / 100.0, plon_cd / 100.0, level=POI_INDEX_LEVEL)
+    index = knn.PoiIndex(
+        pk, plat_cd / 100.0, plon_cd / 100.0, level=POI_INDEX_LEVEL,
+        metric_lat=plat_cd.astype(np.float64), metric_lon=plon_cd.astype(np.float64),
+        metric_scale=100.0,
+    )
     idx_ref = ray.put(index)
     order = np.argsort(pk)
     pk_s, plat_s, plon_s = pk[order], plat_cd[order], plon_cd[order]
@@ -1177,7 +1189,8 @@ def q_knn3_poi(sf_dir: str):
     )
     joined = pts.map_batches(
         stages.knn_k_join_batch,
-        fn_kwargs={"index_ref": idx_ref, "k": KNN_K},
+        fn_kwargs={"index_ref": idx_ref, "k": KNN_K,
+                   "metric_lat_col": "lat_cd", "metric_lon_col": "lon_cd"},
         batch_format="pyarrow",
         batch_size=None,
     )

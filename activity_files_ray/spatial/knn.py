@@ -42,10 +42,27 @@ class PoiIndex:
         lat: np.ndarray,
         lon: np.ndarray,
         level: int = cells.LEVEL_TILE,
+        metric_lat: np.ndarray | None = None,
+        metric_lon: np.ndarray | None = None,
+        metric_scale: float = 1.0,
     ):
+        """``metric_*``: optional coordinates used for DISTANCE
+        comparisons (cell placement always uses degrees). Pass
+        integer-valued arrays (e.g. centidegrees) to make tie-breaks
+        EXACT: float math on integers < 2^26 is lossless, while
+        degree floats can order two int-metric ties differently —
+        a real bug found by the 10× scale gate. ``metric_scale`` =
+        metric units per degree (bounds are rescaled with it)."""
         self.level = level
         self.lat = np.asarray(lat, dtype=np.float64)
         self.lon = np.asarray(lon, dtype=np.float64)
+        self.mlat = (
+            np.asarray(metric_lat, dtype=np.float64) if metric_lat is not None else self.lat
+        )
+        self.mlon = (
+            np.asarray(metric_lon, dtype=np.float64) if metric_lon is not None else self.lon
+        )
+        self.metric_scale = float(metric_scale) if metric_lat is not None else 1.0
         self.poi_ids = np.asarray(poi_ids)
         cid = cells.cell_id(self.lat, self.lon, level)
         order = np.argsort(cid, kind="stable")
@@ -84,19 +101,24 @@ def nearest_poi(
     plon: np.ndarray,
     index: PoiIndex,
     max_ring: int = 8,
+    metric_lat: np.ndarray | None = None,
+    metric_lon: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact nearest POI for each point via expanding cell disks.
 
-    Returns (poi_row_index, squared_degree_distance); row index −1
+    Returns (poi_row_index, squared metric distance); row index −1
     where no POI exists within ``max_ring`` rings. Ties broken by
-    smallest POI id (deterministic, SQL-matchable).
+    smallest POI id (deterministic, SQL-matchable). ``metric_*``
+    must match the index's metric space when it was built with one.
     """
     plat = np.asarray(plat, dtype=np.float64)
     plon = np.asarray(plon, dtype=np.float64)
+    qlat = np.asarray(metric_lat, dtype=np.float64) if metric_lat is not None else plat
+    qlon = np.asarray(metric_lon, dtype=np.float64) if metric_lon is not None else plon
     n = len(plat)
     best_idx = np.full(n, -1, dtype=np.int64)
     best_d2 = np.full(n, np.inf)
-    cell_lat_deg = 180.0 / (1 << index.level)
+    cell_lat_deg = 180.0 / (1 << index.level) * index.metric_scale
     base_cell = cells.cell_id(plat, plon, index.level)
     unresolved = np.arange(n)
     r = 0
@@ -108,8 +130,8 @@ def nearest_poi(
             pt_of_cand = unresolved[
                 np.repeat(np.arange(m * w) // w, counts)
             ]
-            d2 = (index.lat[poi_rows] - plat[pt_of_cand]) ** 2 + (
-                index.lon[poi_rows] - plon[pt_of_cand]
+            d2 = (index.mlat[poi_rows] - qlat[pt_of_cand]) ** 2 + (
+                index.mlon[poi_rows] - qlon[pt_of_cand]
             ) ** 2
             # per-point winner: sort by (point, d2, poi_id), take first
             key = np.lexsort((index.poi_ids[poi_rows], d2, pt_of_cand))
@@ -131,8 +153,8 @@ def nearest_poi(
         # stragglers in POI deserts: brute-force against the whole
         # (broadcast-small) POI side — exact, and O(stragglers × POIs)
         # beats ever-growing disk scans
-        d2_all = (index.lat[None, :] - plat[unresolved, None]) ** 2 + (
-            index.lon[None, :] - plon[unresolved, None]
+        d2_all = (index.mlat[None, :] - qlat[unresolved, None]) ** 2 + (
+            index.mlon[None, :] - qlon[unresolved, None]
         ) ** 2
         # (d2, id) lexicographic argmin per row
         ordk = np.lexsort((index.poi_ids, ))  # id order
@@ -149,6 +171,8 @@ def k_nearest_poi(
     index: PoiIndex,
     k: int = 3,
     max_ring: int = 8,
+    metric_lat: np.ndarray | None = None,
+    metric_lon: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact k-nearest POIs per point via expanding cell disks.
 
@@ -159,10 +183,12 @@ def k_nearest_poi(
     """
     plat = np.asarray(plat, dtype=np.float64)
     plon = np.asarray(plon, dtype=np.float64)
+    qlat = np.asarray(metric_lat, dtype=np.float64) if metric_lat is not None else plat
+    qlon = np.asarray(metric_lon, dtype=np.float64) if metric_lon is not None else plon
     n = len(plat)
     best_idx = np.full((n, k), -1, dtype=np.int64)
     best_d2 = np.full((n, k), np.inf)
-    cell_lat_deg = 180.0 / (1 << index.level)
+    cell_lat_deg = 180.0 / (1 << index.level) * index.metric_scale
     base_cell = cells.cell_id(plat, plon, index.level)
     unresolved = np.arange(n)
     r = 0
@@ -172,8 +198,8 @@ def k_nearest_poi(
         counts, poi_rows = index.pois_in_cells(disk.ravel())
         if poi_rows.size:
             pt_of_cand = unresolved[np.repeat(np.arange(m * w) // w, counts)]
-            d2 = (index.lat[poi_rows] - plat[pt_of_cand]) ** 2 + (
-                index.lon[poi_rows] - plon[pt_of_cand]
+            d2 = (index.mlat[poi_rows] - qlat[pt_of_cand]) ** 2 + (
+                index.mlon[poi_rows] - qlon[pt_of_cand]
             ) ** 2
             # per-point top-k over the full (nested) disk: sort by
             # (point, d2, poi_id), keep per-point rank < k
@@ -194,8 +220,8 @@ def k_nearest_poi(
         unresolved = unresolved[~resolved]
         r += 1
     if len(unresolved):
-        d2_all = (index.lat[None, :] - plat[unresolved, None]) ** 2 + (
-            index.lon[None, :] - plon[unresolved, None]
+        d2_all = (index.mlat[None, :] - qlat[unresolved, None]) ** 2 + (
+            index.mlon[None, :] - qlon[unresolved, None]
         ) ** 2
         kk = min(k, d2_all.shape[1])
         # (d2, id)-lex top-k per straggler

@@ -206,19 +206,35 @@ class KnnPoiJoiner:
 
 
 def knn_join_batch(
-    batch: pa.Table, index_ref: Any, lat_col: str = "lat", lon_col: str = "lon"
+    batch: pa.Table, index_ref: Any, lat_col: str = "lat", lon_col: str = "lon",
+    metric_lat_col: str | None = None, metric_lon_col: str | None = None,
 ) -> pa.Table:
     """Task-function form of :class:`KnnPoiJoiner` (worker-cached
-    broadcast; see module docstring)."""
-    return _knn_join_impl(batch, _resolve_cached(index_ref), lat_col, lon_col)
+    broadcast; see module docstring). ``metric_*_col``: columns in the
+    index's exact metric space (e.g. integer centidegrees)."""
+    return _knn_join_impl(
+        batch, _resolve_cached(index_ref), lat_col, lon_col,
+        metric_lat_col, metric_lon_col,
+    )
 
 
 def _knn_join_impl(
-    batch: pa.Table, index: knn.PoiIndex, lat_col: str, lon_col: str
+    batch: pa.Table, index: knn.PoiIndex, lat_col: str, lon_col: str,
+    metric_lat_col: str | None = None, metric_lon_col: str | None = None,
 ) -> pa.Table:
     lat = batch[lat_col].to_numpy(zero_copy_only=False)
     lon = batch[lon_col].to_numpy(zero_copy_only=False)
-    rows, d2 = knn.nearest_poi(lat, lon, index)
+    mlat = (
+        batch[metric_lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if metric_lat_col
+        else None
+    )
+    mlon = (
+        batch[metric_lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if metric_lon_col
+        else None
+    )
+    rows, d2 = knn.nearest_poi(lat, lon, index, metric_lat=mlat, metric_lon=mlon)
     found = rows >= 0
     ids = np.where(found, index.poi_ids[np.clip(rows, 0, None)], None)
     id_type = (
@@ -377,6 +393,8 @@ def knn_k_join_batch(
     k: int = 3,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    metric_lat_col: str | None = None,
+    metric_lon_col: str | None = None,
 ) -> pa.Table:
     """k-nearest POI join (task-function form): emits one row per
     (point, neighbor) with ``rank`` (1-based, (distance, id)-ordered)
@@ -384,7 +402,17 @@ def knn_k_join_batch(
     index: knn.PoiIndex = _resolve_cached(index_ref)
     lat = batch[lat_col].to_numpy(zero_copy_only=False)
     lon = batch[lon_col].to_numpy(zero_copy_only=False)
-    rows, d2 = knn.k_nearest_poi(lat, lon, index, k=k)
+    mlat = (
+        batch[metric_lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if metric_lat_col
+        else None
+    )
+    mlon = (
+        batch[metric_lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if metric_lon_col
+        else None
+    )
+    rows, d2 = knn.k_nearest_poi(lat, lon, index, k=k, metric_lat=mlat, metric_lon=mlon)
     n = len(lat)
     found = rows >= 0
     pt_idx = np.repeat(np.arange(n), k)[found.ravel()]

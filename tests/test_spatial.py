@@ -244,3 +244,38 @@ class TestTreeAggregateCombiner:
             combine_partitions=3,
         ).sort_values("cell").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestIntegerMetricTieBreak:
+    def test_int_tie_breaks_by_id_despite_float_skew(self):
+        """Regression (found by the 10x-scale oracle gate): two POIs
+        at integer-squared distance 25 from the origin — (3,4) and
+        (5,0) centidegrees. In degree floats the distances differ in
+        the last ulp, which used to pick whichever float was smaller;
+        the integer metric ties them and the smallest id must win."""
+        ids = np.array([10, 2])
+        lat_cd = np.array([3.0, 5.0])
+        lon_cd = np.array([4.0, 0.0])
+        idx = knn.PoiIndex(
+            ids, lat_cd / 100.0, lon_cd / 100.0, level=7,
+            metric_lat=lat_cd, metric_lon=lon_cd, metric_scale=100.0,
+        )
+        rows, d2 = knn.nearest_poi(
+            np.array([0.0]), np.array([0.0]), idx,
+            metric_lat=np.array([0.0]), metric_lon=np.array([0.0]),
+        )
+        assert idx.poi_ids[rows[0]] == 2  # min id among int-metric ties
+        assert d2[0] == 25.0  # exact integer distance
+        gi, gd = knn.k_nearest_poi(
+            np.array([0.0]), np.array([0.0]), idx, k=2,
+            metric_lat=np.array([0.0]), metric_lon=np.array([0.0]),
+        )
+        assert idx.poi_ids[gi[0]].tolist() == [2, 10]
+        assert gd[0].tolist() == [25.0, 25.0]
+
+    def test_degree_floats_would_have_flipped(self):
+        # documents WHY the metric space matters: the float-degree
+        # distances of the two int-tied POIs genuinely differ
+        a = (3 / 100.0) ** 2 + (4 / 100.0) ** 2
+        b = (5 / 100.0) ** 2 + 0.0**2
+        assert a != b  # last-ulp skew: ties are not ties in degrees
