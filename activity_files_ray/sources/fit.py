@@ -354,7 +354,9 @@ def _parse_data(
             out.span_sport.append(None)
             out.span_dist_m.append(None)
     elif g == GLOBAL_SET:
-        # start_time(6) + duration(0, ms/1000)
+        # start_time(6) + duration(0, ms/1000); repetitions(3) u16,
+        # weight(4) u16 kg/16 (WorkoutSet reps/weightKg,
+        # models.dart:365-437)
         start = vals.get(6)
         if isinstance(start, int):
             dur = vals.get(0)
@@ -362,11 +364,19 @@ def _parse_data(
             e_us = s_us + (
                 int(dur / 1000.0 * 1e6) if isinstance(dur, (int, float)) else 0
             )
+            stats: dict = {}
+            if isinstance(vals.get(3), int):
+                stats["reps"] = float(vals[3])
+            if isinstance(vals.get(4), int):
+                stats["weight_kg"] = vals[4] / 16.0
+            while len(out.span_stats) < len(out.span_kind):
+                out.span_stats.append({})
             out.span_kind.append("set")
             out.span_start_us.append(s_us)
             out.span_end_us.append(e_us)
             out.span_sport.append(None)
             out.span_dist_m.append(None)
+            out.span_stats.append(stats)
     elif g == GLOBAL_FILE_ID:
         man = vals.get(1)
         if isinstance(man, int):
@@ -605,13 +615,27 @@ def encode_fit(
                 body += struct.pack("<I", ((e_us - s_us) // 1000) & 0xFFFFFFFF)
         sets_df = spans[spans["kind"] == "set"] if "kind" in spans.columns else spans.iloc[0:0]
         if len(sets_df):
-            # set def (local 8): start_time(6) u32, duration(0) u32 ms
-            body += bytes([0x48, 0, 0, 225, 0, 2, 6, 4, 0x86, 0, 4, 0x86])
+            # set def (local 8): start_time(6) u32, duration(0) u32 ms,
+            # repetitions(3) u16, weight(4) u16 (kg*16)
+            body += bytes([0x48, 0, 0, 225, 0, 4, 6, 4, 0x86, 0, 4, 0x86,
+                           3, 2, 0x84, 4, 2, 0x84])
             for _, r in sets_df.iterrows():
                 s_us, e_us = int(r["start_us"]), int(r["end_us"])
                 body += bytes([0x08])
                 body += struct.pack("<I", ((s_us - FIT_EPOCH_US) // 1_000_000) & 0xFFFFFFFF)
                 body += struct.pack("<I", ((e_us - s_us) // 1000) & 0xFFFFFFFF)
+
+                def _u16(v, scale=1.0):
+                    try:
+                        fv = float(v)
+                    except (TypeError, ValueError):
+                        return 0xFFFF
+                    if not np.isfinite(fv):
+                        return 0xFFFF
+                    return min(0xFFFE, int(round(fv * scale)))
+
+                body += struct.pack("<H", _u16(r.get("reps")))
+                body += struct.pack("<H", _u16(r.get("weight_kg"), 16.0))
         events = spans[spans["kind"] == "event"] if "kind" in spans.columns else spans.iloc[0:0]
         if len(events):
             # event def: timestamp(253) u32, event(0) enum, event_type(1) enum

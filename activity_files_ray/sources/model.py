@@ -151,7 +151,7 @@ class ParsedActivity:
                         ],
                         dtype=np.float64,
                     )
-                    for col in ("calories", "avg_hr", "max_hr")
+                    for col in ("calories", "avg_hr", "max_hr", "reps", "weight_kg")
                 },
             }
         )

@@ -645,3 +645,26 @@ class TestGpxSegmentPseudoLaps:
         pts = canonical_points()
         parsed = gpx.parse_gpx(gpx.encode_gpx(pts, None), "a1")
         assert not (parsed.spans_df()["kind"] == "lap").any()
+
+
+class TestSetStats:
+    def test_reps_weight_roundtrip(self):
+        pts = canonical_points()
+        t0 = int(pts["ts_us"].iloc[0])
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"],
+                "kind": ["set"],
+                "start_us": [t0],
+                "end_us": [t0 + 45_000_000],
+                "sport": [None],
+                "dist_m": [np.nan],
+                "reps": [12.0],
+                "weight_kg": [62.5],  # /16 scale: exact sixteenth
+            }
+        )
+        payload = fit_mod.encode_fit(pts, None, spans=spans)
+        sdf = fit_mod.parse_fit(payload, "a").spans_df()
+        st = sdf[sdf["kind"] == "set"].iloc[0]
+        assert st["reps"] == 12.0
+        assert st["weight_kg"] == 62.5
