@@ -668,3 +668,35 @@ class TestSetStats:
         st = sdf[sdf["kind"] == "set"].iloc[0]
         assert st["reps"] == 12.0
         assert st["weight_kg"] == 62.5
+
+
+class TestFitBigEndian:
+    def test_big_endian_definition_decodes(self):
+        """Hand-crafted big-endian FIT (arch=1): the endianness branch
+        of field decoding (fit_parser.dart endian-aware readers)."""
+        import struct
+
+        from activity_files_ray.functions import geo
+
+        body = bytearray()
+        # record def (local 0, arch=1 BE): timestamp u32, lat i32, lon i32, hr u8
+        body += bytes([0x40, 0, 1]) + struct.pack(">H", 20) + bytes([4])
+        body += bytes([253, 4, 0x86, 0, 4, 0x85, 1, 4, 0x85, 3, 1, 0x02])
+        fit_ts = 1_000_000_000
+        lat_sc = int(round(40.0 / geo.SEMICIRCLE_TO_DEG))
+        lon_sc = int(round(-105.0 / geo.SEMICIRCLE_TO_DEG))
+        body += bytes([0x00])
+        body += struct.pack(">I", fit_ts) + struct.pack(">i", lat_sc)
+        body += struct.pack(">i", lon_sc) + bytes([142])
+        header = struct.pack("<BBHI4s", 14, 0x10, 2140, len(body), b".FIT")
+        header += struct.pack("<H", fit_mod.crc16(header))
+        blob = header + bytes(body)
+        blob += struct.pack("<H", fit_mod.crc16(blob))
+        parsed = fit_mod.parse_fit(blob, "be")
+        assert not [d for d in parsed.diags if d[0] == "error"], parsed.diags
+        assert len(parsed.ts_us) == 1
+        assert parsed.lat[0] == pytest.approx(40.0, abs=1e-6)
+        assert parsed.lon[0] == pytest.approx(-105.0, abs=1e-6)
+        cdf = parsed.channels_df()
+        assert cdf[cdf.channel == "heart_rate"]["value"].iloc[0] == 142.0
+        assert parsed.ts_us[0] == fit_mod.FIT_EPOCH_US + fit_ts * 1_000_000
