@@ -279,6 +279,7 @@ def _parse_rte(node) -> dict:
 # --- encoder -----------------------------------------------------------------
 
 GPX_NS = "http://www.topografix.com/GPX/1/1"
+GPX10_NS = "http://www.topografix.com/GPX/1/0"
 TPX_NS = "http://www.garmin.com/xmlschemas/TrackPointExtension/v1"
 _TPX_TAGS = {"heart_rate": "hr", "cadence": "cad", "temperature": "atemp"}
 
@@ -318,6 +319,7 @@ def encode_gpx(
     tolerance_us: int = DEFAULT_TOLERANCE_US,
     waypoints: list | None = None,
     routes: list | None = None,
+    version: str = "1.1",
 ) -> bytes:
     """points (sorted by ts_us) + long-form channels → GPX 1.1 bytes.
 
@@ -337,9 +339,10 @@ def encode_gpx(
                 tolerance_us,
             )
     segs = sorted(set(segment_starts or [0])) or [0]
+    ns = GPX_NS if version == "1.1" else GPX10_NS  # GPX 1.0/1.1 output
     parts = [
         '<?xml version="1.0" encoding="UTF-8"?>\n'
-        f'<gpx version="1.1" creator="{_esc(creator)}" xmlns="{GPX_NS}" '
+        f'<gpx version="{version}" creator="{_esc(creator)}" xmlns="{ns}" '
         f'xmlns:gpxtpx="{TPX_NS}">\n'
     ]
     wpt_parts = []

@@ -700,3 +700,14 @@ class TestFitBigEndian:
         cdf = parsed.channels_df()
         assert cdf[cdf.channel == "heart_rate"]["value"].iloc[0] == 142.0
         assert parsed.ts_us[0] == fit_mod.FIT_EPOCH_US + fit_ts * 1_000_000
+
+
+class TestGpxVersions:
+    def test_gpx10_output_roundtrips(self):
+        pts = canonical_points()
+        p10 = gpx.encode_gpx(pts, None, version="1.0")
+        assert b'version="1.0"' in p10 and b"GPX/1/0" in p10
+        parsed = gpx.parse_gpx(p10, "a")
+        assert len(parsed.ts_us) == 3
+        from activity_files_ray.sources import detect
+        assert detect.detect_format(p10) == "gpx"
