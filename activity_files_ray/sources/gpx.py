@@ -320,6 +320,7 @@ def encode_gpx(
     waypoints: list | None = None,
     routes: list | None = None,
     version: str = "1.1",
+    channel_tolerances_us: dict[str, int] | None = None,
 ) -> bytes:
     """points (sorted by ts_us) + long-form channels → GPX 1.1 bytes.
 
@@ -333,10 +334,13 @@ def encode_gpx(
     ext_col = points["ext"].tolist() if "ext" in points else None
     joined: dict[str, np.ndarray] = {}
     if channels is not None and len(channels):
+        tol = channel_tolerances_us or {}
         for ch, g in channels.groupby("channel", observed=True):
+            # per-channel tolerance override (encoder_options.dart:
+            # 11-62: per-channel tolerances with a shared default)
             joined[str(ch)] = nearest_join(
                 ts, g["ts_us"].to_numpy(np.int64), g["value"].to_numpy(np.float64),
-                tolerance_us,
+                tol.get(str(ch), tolerance_us),
             )
     segs = sorted(set(segment_starts or [0])) or [0]
     ns = GPX_NS if version == "1.1" else GPX10_NS  # GPX 1.0/1.1 output

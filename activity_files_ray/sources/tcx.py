@@ -196,6 +196,7 @@ def encode_tcx(
     sport: str | None = None,
     creator: str = "activity_files_ray",
     tolerance_us: int = DEFAULT_TOLERANCE_US,
+    channel_tolerances_us: dict[str, int] | None = None,
 ) -> bytes:
     """points/channels/laps → TCX bytes. Laps grouped into consecutive
     same-sport Activities; synthetic whole-track lap when none."""
@@ -209,10 +210,11 @@ def encode_tcx(
     )
     joined: dict[str, np.ndarray] = {}
     if channels is not None and len(channels):
+        tol = channel_tolerances_us or {}
         for ch, g in channels.groupby("channel", observed=True):
             joined[str(ch)] = nearest_join(
                 ts, g["ts_us"].to_numpy(np.int64), g["value"].to_numpy(np.float64),
-                tolerance_us,
+                tol.get(str(ch), tolerance_us),
             )
     def _stat(r, key):
         v = r.get(key)

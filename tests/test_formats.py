@@ -711,3 +711,26 @@ class TestGpxVersions:
         assert len(parsed.ts_us) == 3
         from activity_files_ray.sources import detect
         assert detect.detect_format(p10) == "gpx"
+
+
+class TestPerChannelTolerance:
+    def test_tight_tolerance_drops_offset_channel(self):
+        pts = canonical_points()
+        ch = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"] * 3,
+                "channel": ["heart_rate"] * 3,
+                # samples 2s after each point
+                "ts_us": (pts["ts_us"] + 2_000_000).tolist(),
+                "value": [140.0, 142.0, 145.0],
+            }
+        )
+        # default 5s tolerance: joined
+        p1 = gpx.parse_gpx(gpx.encode_gpx(pts, ch), "a")
+        assert len(p1.channels_df()) == 3
+        # per-channel 1s tolerance: dropped
+        p2 = gpx.parse_gpx(
+            gpx.encode_gpx(pts, ch, channel_tolerances_us={"heart_rate": 1_000_000}),
+            "a",
+        )
+        assert len(p2.channels_df()) == 0
