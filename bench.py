@@ -7,9 +7,11 @@ Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
 "sf", "num_cpus", "rows_per_sec": {...}}``.
 
 ``--scaling``: runs this same script twice in FRESH subprocesses at
-8 and 32 CPUs on the same input (the sandbox stand-in for N vs 4N Ray
-nodes, BASELINE.md) and prints both times plus the scaling
-efficiency ``(t_lo / t_hi) / (hi_cpus / lo_cpus)``.
+two parallelism levels (default 4 and 16 CPUs — N vs 4N; override
+with GRAFT_SCALING_LO/HI) on the same input — the sandbox stand-in
+for N vs 4N Ray nodes (BASELINE.md explains the level choice) — and
+prints both times plus the scaling efficiency
+``(t_lo / t_hi) / (hi_cpus / lo_cpus)``.
 """
 
 from __future__ import annotations
