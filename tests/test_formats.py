@@ -713,6 +713,7 @@ class TestGpxVersions:
         assert detect.detect_format(p10) == "gpx"
 
 
+@pytest.mark.usefixtures("ray_session")
 class TestPerChannelTolerance:
     def test_tight_tolerance_drops_offset_channel(self):
         pts = canonical_points()
@@ -734,3 +735,30 @@ class TestPerChannelTolerance:
             "a",
         )
         assert len(p2.channels_df()) == 0
+
+    def test_union_select_spans_and_diags(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        pts, ch = canonical_points(), canonical_channels()
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["act_000000"], "kind": ["lap"],
+                "start_us": [int(pts["ts_us"].iloc[0])],
+                "end_us": [int(pts["ts_us"].iloc[2])],
+                "sport": ["cycling"], "dist_m": [150.0],
+            }
+        )
+        payloads = pa.table(
+            {
+                "activity_id": ["t1", "bad"],
+                "bytes": [tcx.encode_tcx(pts, ch, spans), b"junk"],
+            }
+        )
+        union = rd.from_arrow(payloads).map_batches(
+            stage.parse_batch_union, batch_format="pyarrow", batch_size=None
+        )
+        sp = stage.union_select(union, "span").to_pandas()
+        assert (sp["span_kind"] == "lap").any()
+        dg = stage.union_select(union, "diag").to_pandas()
+        assert "bad" in set(dg["activity_id"])

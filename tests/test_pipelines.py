@@ -228,3 +228,16 @@ class TestConvertFidelity:
         re = gj.parse_geojson(out, "check")
         assert re.metadata.get("venue") == "mesa"
         assert re.sport == "cycling"
+
+    def test_from_flag_overrides_detection(self, tmp_path):
+        from activity_files_ray import cli
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        # a GPX payload saved with a lying extension; --from forces it
+        src = tmp_path / "mystery.dat"
+        src.write_bytes(gpx.encode_gpx(pts, None))
+        out = tmp_path / "out.csv"
+        rc = cli.main(["convert", str(src), "-o", str(out), "-t", "csv", "--from", "gpx"])
+        assert rc == 0
+        assert stage.parse_payload(out.read_bytes(), "x", "csv").ts_us
