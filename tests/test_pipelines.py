@@ -241,3 +241,44 @@ class TestConvertFidelity:
         rc = cli.main(["convert", str(src), "-o", str(out), "-t", "csv", "--from", "gpx"])
         assert rc == 0
         assert stage.parse_payload(out.read_bytes(), "x", "csv").ts_us
+
+
+class TestConvertRequest:
+    def test_payload_shape(self):
+        from activity_files_ray.pipelines.request import ConvertRequest, run_request
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        req = ConvertRequest(to_fmt="geojson", payload=gpx.encode_gpx(pts, None))
+        payload, diags = run_request(req)
+        assert stage.parse_payload(payload, "x", "geojson").ts_us
+
+    def test_points_shape_skips_parse(self):
+        from activity_files_ray.pipelines.request import ConvertRequest, run_request
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        req = ConvertRequest(to_fmt="fit", points=pts, encoder_options={"sport": "cycling"})
+        payload, _d = run_request(req)
+        parsed = stage.parse_payload(payload, "x", "fit")
+        assert len(parsed.ts_us) == 3 and parsed.sport == "cycling"
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_corpus_shape(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from activity_files_ray.pipelines.request import ConvertRequest, run_request
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        src = gpx.encode_gpx(pts, None)
+        ds = rd.from_arrow(pa.table({"activity_id": ["a", "b"], "bytes": [src, src]}))
+        encoded, _diags = run_request(ConvertRequest(to_fmt="csv", corpus=ds))
+        assert encoded.count() == 2
+
+    def test_ambiguous_shape_rejected(self):
+        from activity_files_ray.pipelines.request import ConvertRequest, run_request
+
+        with pytest.raises(ValueError, match="exactly one"):
+            run_request(ConvertRequest(to_fmt="gpx"))
