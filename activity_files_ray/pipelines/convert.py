@@ -175,3 +175,30 @@ def convert_one(
         len(d) for d in diags
     ) else pd.DataFrame(columns=["activity_id", "severity", "code", "message", "path"])
     return payload, dd
+
+
+def load_batch(
+    payloads: list[tuple[str, bytes]],
+    fmt: str | None = None,
+    stop_on_error: bool = False,
+    on_progress=None,
+):
+    """The facade's loadBatch analog (facade:546-589): sequential
+    local import with per-payload error capture and a
+    ``on_progress(done, total)`` callback — the small-scale
+    convenience path next to the Ray ``convert_corpus``/parse stages.
+
+    Returns a list of (activity_id, ParsedActivity | None, error_str
+    | None)."""
+    out = []
+    total = len(payloads)
+    for i, (aid, data) in enumerate(payloads, start=1):
+        parsed = src_stage.parse_payload(data, aid, fmt)
+        errors = [d for d in parsed.diags if d[0] == "error"]
+        err = errors[0][2] if errors and not parsed.ts_us else None
+        out.append((aid, parsed, err))
+        if on_progress is not None:
+            on_progress(i, total)
+        if err and stop_on_error:
+            break
+    return out

@@ -282,3 +282,25 @@ class TestConvertRequest:
 
         with pytest.raises(ValueError, match="exactly one"):
             run_request(ConvertRequest(to_fmt="gpx"))
+
+
+class TestLoadBatch:
+    def test_progress_and_error_capture(self):
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        good = gpx.encode_gpx(pts, None)
+        seen = []
+        res = cv.load_batch(
+            [("a", good), ("bad", b"junk"), ("b", good)],
+            on_progress=lambda d, t: seen.append((d, t)),
+        )
+        assert [r[0] for r in res] == ["a", "bad", "b"]
+        assert res[0][2] is None and res[2][2] is None
+        assert res[1][2] is not None  # error captured, run continued
+        assert seen == [(1, 3), (2, 3), (3, 3)]
+
+    def test_stop_on_error(self):
+        res = cv.load_batch(
+            [("bad", b"junk"), ("never", b"x")], stop_on_error=True
+        )
+        assert len(res) == 1 and res[0][0] == "bad"
