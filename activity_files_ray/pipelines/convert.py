@@ -152,6 +152,17 @@ def convert_one(
             extra["creator"] = parsed.creator
     elif to_fmt == "fit":
         extra = {"spans": spans, "sport": parsed.sport}
+        mid = parsed.metadata.get("fit_manufacturer_id")
+        try:
+            extra["manufacturer_id"] = int(mid)
+        except (TypeError, ValueError):
+            # name-only metadata (e.g. from TCX Creator) resolves
+            # through the public manufacturer table
+            from ..sources import fit_profile
+
+            rid = fit_profile.manufacturer_id(parsed.metadata.get("manufacturer"))
+            if rid is not None:
+                extra["manufacturer_id"] = rid
     elif to_fmt == "geojson":
         meta = dict(parsed.metadata)
         if parsed.sport:

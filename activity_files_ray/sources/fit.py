@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions import geo
+from . import fit_profile
 from .model import ParsedActivity
 
 FIT_EPOCH_US = geo.FIT_EPOCH_UNIX_S * 1_000_000
@@ -191,6 +192,8 @@ def parse_fit(
     # (fit_parser.dart:174-178,805-835 analog)
     dev_registry: dict[tuple[int, int], tuple[str, int]] = {}
     last_ts: int | None = None
+    # compressed speed-distance accumulator state (one per file)
+    csd = {"seen": False, "last_raw": 0, "accum": 0}
     while pos < end:
         hdr = data[pos]
         pos += 1
@@ -205,7 +208,7 @@ def parse_fit(
             if last_ts is not None:
                 # 5-bit rollover (public FIT compressed-timestamp rule)
                 last_ts = last_ts + ((offset - (last_ts & 0x1F)) & 0x1F)
-            pos, seen = _parse_data(data, pos, mdef, out, last_ts, dev_registry)
+            pos, seen = _parse_data(data, pos, mdef, out, last_ts, dev_registry, csd)
             if pos < 0:
                 break
             if seen is not None:
@@ -233,10 +236,17 @@ def parse_fit(
             dev_fields: list[tuple[int, int, int]] = []
             if has_dev:
                 if pos >= end:
-                    break
+                    out.diag("error", "fit.definition.truncated", "", f"offset {pos}")
+                    return out
                 n_dev = data[pos]
                 pos += 1
                 for _ in range(n_dev):
+                    # same truncation guard as the regular field loop:
+                    # a file ending mid-dev-field-list must not read
+                    # CRC bytes as definition bytes
+                    if pos + 3 > end:
+                        out.diag("error", "fit.definition.truncated", "", f"offset {pos}")
+                        return out
                     # (field_num, size, developer_data_index)
                     dev_fields.append((data[pos], data[pos + 1], data[pos + 2]))
                     pos += 3
@@ -247,7 +257,7 @@ def parse_fit(
                 out.diag("error", "fit.record.unknown_definition",
                          f"local {local}", f"offset {pos}")
                 break
-            pos, seen = _parse_data(data, pos, mdef, out, None, dev_registry)
+            pos, seen = _parse_data(data, pos, mdef, out, None, dev_registry, csd)
             if pos < 0:
                 break
             if seen is not None:
@@ -274,6 +284,12 @@ def _read_field(data: bytes, pos: int, f: _FieldDef, big_endian: bool):
         vals = struct.unpack_from(endc + ch * n, data, pos)
     except struct.error:
         return None
+    if f.base == 0x0D:
+        # byte arrays keep RAW bytes (no per-element sentinel-nulling):
+        # packed fields like compressed_speed_distance need every byte,
+        # and the all-0xFF invalid check happens at the consumer
+        # (fit_parser.dart:452-455 semantics)
+        return list(vals) if n > 1 else vals[0]
     dec = [None if (invalid is not None and v == invalid) else v for v in vals]
     if n == 1:
         return dec[0]
@@ -287,6 +303,7 @@ def _parse_data(
     out: ParsedActivity,
     comp_ts: int | None,
     dev_registry: dict[tuple[int, int], tuple[str, int]] | None = None,
+    csd: dict | None = None,
 ) -> tuple[int, int | None]:
     """Returns (next_pos_or_-1, timestamp_seconds_seen_or_None)."""
     if pos + mdef.total > len(data):
@@ -322,7 +339,7 @@ def _parse_data(
                 _sanitize_field_name(name_v), base_v & 0x9F
             )
     elif g == GLOBAL_RECORD:
-        _emit_record(vals, out, comp_ts, dev_vals)
+        _emit_record(vals, out, comp_ts, dev_vals, csd)
     elif g == GLOBAL_SESSION:
         _emit_span(vals, "session", out)
         sp = vals.get(5)
@@ -378,9 +395,29 @@ def _parse_data(
             out.span_dist_m.append(None)
             out.span_stats.append(stats)
     elif g == GLOBAL_FILE_ID:
+        # manufacturer(1) u16, product(2) u16, serial(3) u32z,
+        # product_name(8) string — resolved through the public FIT
+        # manufacturer enum both for metadata and the creator string
+        # (fit_parser.dart:517-556 analog)
         man = vals.get(1)
+        product = vals.get(2)
+        serial = vals.get(3)
+        pname = vals.get(8)
+        parts = ["FIT Device"]
         if isinstance(man, int):
             out.metadata["fit_manufacturer_id"] = str(man)
+            name = fit_profile.manufacturer_name(man)
+            out.metadata["manufacturer"] = name
+            parts.append(name)
+        if isinstance(product, int):
+            out.metadata["fit_product_id"] = str(product)
+            parts.append(f"p{product}")
+        if isinstance(serial, int):
+            out.metadata["fit_serial_number"] = str(serial)
+            parts.append(f"s{serial}")
+        if isinstance(pname, str) and pname.strip():
+            out.metadata["model"] = pname.strip()
+        out.creator = " ".join(parts)
     elif g == GLOBAL_DEVICE_INFO:
         pass  # minimal: descriptor only
     ts_seen = vals.get(253)
@@ -392,6 +429,7 @@ def _parse_data(
 def _emit_record(
     vals: dict, out: ParsedActivity, comp_ts: int | None,
     dev_vals: dict[str, float] | None = None,
+    csd: dict | None = None,
 ) -> None:
     ts = vals.get(253)
     if ts is None:
@@ -419,11 +457,66 @@ def _emit_record(
             out.add_sample("speed", ts_us, v / 1000.0)
         else:
             out.add_sample(name, ts_us, float(v))
+    # legacy compressed_speed_distance (field 8, fit_parser.dart:448-472
+    # analog): 3 bytes packing a 12-bit speed (scale 100, m/s) and a
+    # 12-bit rolling distance-delta accumulator (scale 16, m). Used by
+    # older ANT+/Garmin devices instead of the separate speed (6) and
+    # distance (5) fields; explicit fields win.
+    v8 = vals.get(8)
+    if (
+        csd is not None
+        and isinstance(v8, list)
+        and len(v8) >= 3
+        and all(isinstance(b, int) for b in v8[:3])
+        and not (v8[0] == 0xFF and v8[1] == 0xFF and v8[2] == 0xFF)
+    ):
+        packed = v8[0] | (v8[1] << 8) | (v8[2] << 16)
+        speed_raw = packed & 0x0FFF
+        dist_raw = (packed >> 12) & 0x0FFF
+        if csd["seen"]:
+            csd["accum"] += (dist_raw - csd["last_raw"]) & 0x0FFF
+        csd["last_raw"] = dist_raw
+        csd["seen"] = True
+        has_speed = isinstance(vals.get(6), (int, float)) or isinstance(
+            vals.get(73), (int, float)
+        )
+        if not has_speed and speed_raw != 0x0FFF:
+            out.add_sample("speed", ts_us, speed_raw / 100.0)
+        if not isinstance(vals.get(5), (int, float)):
+            out.add_sample("distance", ts_us, csd["accum"] / 16.0)
+    lrb = vals.get(120)
+    if isinstance(lrb, (int, float)):
+        out.add_sample("left_right_balance", ts_us, float(lrb))
+    # unknown native record fields (e.g. running dynamics) are
+    # preserved generically as fit_field_<n> channels with raw
+    # unscaled values — no sensor data silently dropped; the encoder
+    # re-emits them as native fields (fit_parser.dart:507-513 analog)
+    for fnum, v in vals.items():
+        if fnum in fit_profile.DEDICATED_RECORD_FIELDS:
+            continue
+        if isinstance(v, (int, float)):
+            out.add_sample(f"fit_field_{fnum}", ts_us, float(v))
     for name, v in (dev_vals or {}).items():
         out.add_sample(name, ts_us, v)  # developer field → custom channel
 
 
+def _num(v) -> float | None:
+    return float(v) if isinstance(v, (int, float)) else None
+
+
+def _put(stats: dict, key: str, v, scale: float = 1.0) -> None:
+    f = _num(v)
+    if f is not None:
+        stats[key] = f / scale
+
+
 def _emit_span(vals: dict, kind: str, out: ParsedActivity) -> None:
+    """Lap (global 19) / session (global 18) → span row with the FULL
+    dedicated stat set of the public FIT profile plus open extras —
+    the reference's Lap/ActivitySummary losslessness invariant
+    (fit_parser.dart:558-656, models.dart:632-637,818-832). Field
+    numbers DIFFER between the two messages (e.g. avg/max HR is 15/16
+    on laps but 16/17 on sessions, where 15 is max_speed)."""
     start = vals.get(2)  # start_time
     total_elapsed = vals.get(7)  # ms /1000
     if not isinstance(start, int):
@@ -433,14 +526,61 @@ def _emit_span(vals: dict, kind: str, out: ParsedActivity) -> None:
         int(total_elapsed / 1000.0 * 1e6) if isinstance(total_elapsed, (int, float)) else 0
     )
     dist = vals.get(9)
-    sp = vals.get(5) if kind == "session" else vals.get(25)
     stats: dict = {}
-    if isinstance(vals.get(11), int):
-        stats["calories"] = float(vals[11])  # total_calories kcal
-    if isinstance(vals.get(15), int):
-        stats["avg_hr"] = float(vals[15])
-    if isinstance(vals.get(16), int):
-        stats["max_hr"] = float(vals[16])
+    _put(stats, "calories", vals.get(11))  # total_calories kcal
+    if kind == "session":
+        sp = vals.get(5)
+        dedicated = fit_profile.DEDICATED_SESSION_FIELDS
+        _put(stats, "timer_time_s", vals.get(8), 1000.0)
+        _put(stats, "avg_speed", vals.get(14), 1000.0)
+        _put(stats, "max_speed", vals.get(15), 1000.0)
+        _put(stats, "avg_hr", vals.get(16))
+        _put(stats, "max_hr", vals.get(17))
+        _put(stats, "avg_cadence", vals.get(18))
+        _put(stats, "max_cadence", vals.get(19))
+        _put(stats, "avg_power", vals.get(20))
+        _put(stats, "max_power", vals.get(21))
+        _put(stats, "total_cycles", vals.get(10))
+        _put(stats, "avg_stroke_count", vals.get(41), 10.0)
+        _put(stats, "swim_stroke", vals.get(43))
+        _put(stats, "pool_length_m", vals.get(44), 100.0)
+        _put(stats, "num_active_lengths", vals.get(47))
+        sub = _num(vals.get(6))
+        if sub is not None and sub != 0:  # 0 = generic → absent
+            stats["sub_sport"] = sub
+    else:
+        sp = vals.get(25)
+        dedicated = fit_profile.DEDICATED_LAP_FIELDS
+        _put(stats, "avg_speed", vals.get(13), 1000.0)
+        _put(stats, "max_speed", vals.get(14), 1000.0)
+        _put(stats, "avg_hr", vals.get(15))
+        _put(stats, "max_hr", vals.get(16))
+        _put(stats, "avg_cadence", vals.get(17))
+        _put(stats, "max_cadence", vals.get(18))
+        _put(stats, "avg_power", vals.get(19))
+        _put(stats, "max_power", vals.get(20))
+        _put(stats, "event", vals.get(0))
+        _put(stats, "event_type", vals.get(1))
+        _put(stats, "swim_stroke", vals.get(38))
+        _put(stats, "num_active_lengths", vals.get(40))
+    # open catch-all: every numeric native field with no dedicated
+    # property is preserved raw (unscaled wire value), scalars and
+    # arrays separately (fit_parser.dart:1057-1089 analog)
+    extra_fields: dict[int, float] = {}
+    extra_arrays: dict[int, list[float]] = {}
+    for fnum, v in vals.items():
+        if fnum in dedicated:
+            continue
+        if isinstance(v, (int, float)):
+            extra_fields[fnum] = float(v)
+        elif isinstance(v, list):
+            elems = [float(x) for x in v if isinstance(x, (int, float))]
+            if elems and len(elems) == len(v):
+                extra_arrays[fnum] = elems
+    if extra_fields:
+        stats["extra_fields"] = extra_fields
+    if extra_arrays:
+        stats["extra_arrays"] = extra_arrays
     while len(out.span_stats) < len(out.span_kind):
         out.span_stats.append({})
     out.span_kind.append(kind)
@@ -452,6 +592,110 @@ def _emit_span(vals: dict, kind: str, out: ParsedActivity) -> None:
 
 
 # --- encoder -----------------------------------------------------------------
+
+
+# (size, base) → (struct char, invalid sentinel, max encodable)
+_ENC_TYPES = {
+    (1, 0x00): ("B", 0xFF, 0xFE),  # enum
+    (1, 0x02): ("B", 0xFF, 0xFE),  # uint8
+    (2, 0x84): ("H", 0xFFFF, 0xFFFE),  # uint16
+    (4, 0x86): ("I", 0xFFFFFFFF, 0xFFFFFFFE),  # uint32
+    (4, 0x85): ("i", 0x7FFFFFFF, 0x7FFFFFFE),  # sint32
+}
+
+
+# dedicated stat layouts: (field_num, size, base, stat_key, wire_scale)
+# — stat values are stored in engine units (m/s, s, m, strokes); the
+# wire carries value × scale per the public profile
+_LAP_STATS = (
+    (11, 2, 0x84, "calories", 1.0),
+    (13, 2, 0x84, "avg_speed", 1000.0),
+    (14, 2, 0x84, "max_speed", 1000.0),
+    (15, 1, 0x02, "avg_hr", 1.0),
+    (16, 1, 0x02, "max_hr", 1.0),
+    (17, 1, 0x02, "avg_cadence", 1.0),
+    (18, 1, 0x02, "max_cadence", 1.0),
+    (19, 2, 0x84, "avg_power", 1.0),
+    (20, 2, 0x84, "max_power", 1.0),
+    (0, 1, 0x00, "event", 1.0),
+    (1, 1, 0x00, "event_type", 1.0),
+    (38, 1, 0x00, "swim_stroke", 1.0),
+    (40, 2, 0x84, "num_active_lengths", 1.0),
+)
+_SESSION_STATS = (
+    (8, 4, 0x86, "timer_time_s", 1000.0),
+    (11, 2, 0x84, "calories", 1.0),
+    (14, 2, 0x84, "avg_speed", 1000.0),
+    (15, 2, 0x84, "max_speed", 1000.0),
+    (16, 1, 0x02, "avg_hr", 1.0),
+    (17, 1, 0x02, "max_hr", 1.0),
+    (18, 1, 0x02, "avg_cadence", 1.0),
+    (19, 1, 0x02, "max_cadence", 1.0),
+    (20, 2, 0x84, "avg_power", 1.0),
+    (21, 2, 0x84, "max_power", 1.0),
+    (10, 4, 0x86, "total_cycles", 1.0),
+    (41, 2, 0x84, "avg_stroke_count", 10.0),
+    (43, 1, 0x00, "swim_stroke", 1.0),
+    (44, 2, 0x84, "pool_length_m", 100.0),
+    (47, 2, 0x84, "num_active_lengths", 1.0),
+    (6, 1, 0x00, "sub_sport", 1.0),
+)
+
+
+def _pack_stat(value, size: int, base: int, scale: float = 1.0) -> bytes:
+    """One stat → wire bytes; None/NaN/unencodable → invalid sentinel."""
+    ch, invalid, vmax = _ENC_TYPES[(size, base)]
+    try:
+        fv = float(value) * scale
+    except (TypeError, ValueError):
+        return struct.pack("<" + ch, invalid)
+    if not np.isfinite(fv):
+        return struct.pack("<" + ch, invalid)
+    iv = int(round(fv))
+    lo = -0x7FFFFFFF if ch == "i" else 0
+    iv = max(lo, min(vmax, iv))
+    return struct.pack("<" + ch, iv)
+
+
+def _span_extras_layout(rows) -> tuple[list, list]:
+    """Union-of-keys shared field layout for a set of span rows'
+    extra_fields / extra_arrays JSON maps (fit_encoder.dart:1293-1346
+    analog): scalar extras → one 4-byte int each (signed when any
+    source value is negative), array extras → count contiguous 4-byte
+    ints sized to the longest array (shorter messages pad with
+    sentinels). Returns (scalar_layout [(num, base)], array_layout
+    [(num, base, count)]), both sorted by field number."""
+    from .model import loads_extras
+
+    signed: dict[int, bool] = {}
+    asigned: dict[int, bool] = {}
+    acount: dict[int, int] = {}
+    for r in rows:
+        for num, v in loads_extras(r.get("extra_fields")).items():
+            signed[num] = signed.get(num, False) or float(v) < 0
+        for num, arr in loads_extras(r.get("extra_arrays")).items():
+            asigned[num] = asigned.get(num, False) or any(float(x) < 0 for x in arr)
+            acount[num] = max(acount.get(num, 0), len(arr))
+    scalar = [(n, 0x85 if signed[n] else 0x86) for n in sorted(signed)]
+    arrays = [
+        (n, 0x85 if asigned[n] else 0x86, acount[n]) for n in sorted(acount)
+    ]
+    return scalar, arrays
+
+
+def _pack_extras(r, scalar_layout, array_layout) -> bytes:
+    from .model import loads_extras
+
+    out = bytearray()
+    ef = loads_extras(r.get("extra_fields"))
+    for num, base in scalar_layout:
+        out += _pack_stat(ef.get(num), 4, base)
+    ea = loads_extras(r.get("extra_arrays"))
+    for num, base, count in array_layout:
+        arr = ea.get(num) or []
+        for i in range(count):
+            out += _pack_stat(arr[i] if i < len(arr) else None, 4, base)
+    return bytes(out)
 
 
 def encode_fit(
@@ -493,11 +737,33 @@ def encode_fit(
     body += bytes([0x40, 0, 0, 0, 0, 2, 0, 1, 0x00, 1, 2, 0x84])
     body += bytes([0x00, 4])  # type=4 activity
     body += struct.pack("<H", manufacturer_id)
+    # ``fit_field_<n>`` channels are captured native record fields —
+    # re-emitted as native 4-byte int fields at their original field
+    # number, NOT as developer fields (fit_encoder.dart:1246-1279
+    # analog); signed when any value is negative
+    native_extra: list[tuple[int, int]] = []  # (field_num, base)
+    for name in sorted(ch):
+        if name.startswith("fit_field_"):
+            try:
+                fnum = int(name[len("fit_field_"):])
+            except ValueError:
+                continue
+            if 0 <= fnum <= 255 and fnum not in fit_profile.DEDICATED_RECORD_FIELDS:
+                has_neg = any(v < 0 for v in ch[name].values())
+                native_extra.append((fnum, 0x85 if has_neg else 0x86))
     # custom (non-native) channels become developer fields
     # (fit_encoder.dart:477-516,745-762 analog): declare a
     # developer_data_id + one field_description per custom channel,
     # then extend the record definition with float64 dev fields
-    custom = sorted(name for name in ch if name not in NATIVE_CHANNELS)
+    custom = sorted(
+        name
+        for name in ch
+        if name not in NATIVE_CHANNELS
+        and not (
+            name.startswith("fit_field_")
+            and any(f"fit_field_{n}" == name for n, _b in native_extra)
+        )
+    )
     if custom:
         # developer_data_id (global 207): developer_data_index(3) u8
         body += bytes([0x45, 0, 0, 207, 0, 1, 3, 1, 0x02])
@@ -519,7 +785,7 @@ def encode_fit(
         (253, 4, 0x86), (0, 4, 0x85), (1, 4, 0x85), (2, 2, 0x84),
         (5, 4, 0x86), (6, 2, 0x84), (3, 1, 0x02), (4, 1, 0x02),
         (7, 2, 0x84), (13, 1, 0x01),
-    ]
+    ] + [(fnum, 4, base) for fnum, base in native_extra]
     hdr_bits = 0x61 if custom else 0x41  # dev-data bit when needed
     body += bytes([hdr_bits, 0, 0, 20, 0, len(rec_fields)])
     for num, size, base in rec_fields:
@@ -565,6 +831,8 @@ def encode_fit(
         body += struct.pack(
             "<b", 0x7F if tmp is None else max(-127, min(126, int(round(tmp))))
         )
+        for fnum, base in native_extra:
+            body += _pack_stat(ch.get(f"fit_field_{fnum}", {}).get(t), 4, base)
         for name in custom:
             v = ch.get(name, {}).get(t)
             body += struct.pack("<d", float("nan") if v is None else float(v))
@@ -572,38 +840,32 @@ def encode_fit(
     if spans is not None and len(spans):
         laps = spans[spans["kind"] == "lap"] if "kind" in spans.columns else spans
         if len(laps):
-            # lap def: start_time(2) u32, total_elapsed(7) u32 ms,
-            # total_distance(9) u32 cm, sport(25) enum,
-            # total_calories(11) u16, avg_hr(15) u8, max_hr(16) u8
-            body += bytes([0x43, 0, 0, 19, 0, 7, 2, 4, 0x86, 7, 4, 0x86,
-                           9, 4, 0x86, 25, 1, 0x00, 11, 2, 0x84,
-                           15, 1, 0x02, 16, 1, 0x02])
-
-            def _stat_int(r, key, invalid):
-                v = r.get(key)
-                try:
-                    fv = float(v)
-                except (TypeError, ValueError):
-                    return invalid
-                return int(round(fv)) if np.isfinite(fv) else invalid
-
-            for _, r in laps.iterrows():
+            # lap def (local 3): start_time(2), total_elapsed(7) ms,
+            # total_distance(9) cm, sport(25), then the FULL dedicated
+            # lap stat set of the public profile plus the union-of-keys
+            # extras layout (fit_encoder.dart:1293-1346 parity)
+            lap_rows = [r for _, r in laps.iterrows()]
+            ex_scalar, ex_arrays = _span_extras_layout(lap_rows)
+            def_fields = (
+                [(2, 4, 0x86), (7, 4, 0x86), (9, 4, 0x86), (25, 1, 0x00)]
+                + [(num, size, base) for num, size, base, _k, _s in _LAP_STATS]
+                + [(num, 4, base) for num, base in ex_scalar]
+                + [(num, 4 * count, base) for num, base, count in ex_arrays]
+            )
+            body += bytes([0x43, 0, 0, 19, 0, len(def_fields)])
+            for num, size, base in def_fields:
+                body += bytes([num, size, base])
+            for r in lap_rows:
                 s_us, e_us = int(r["start_us"]), int(r["end_us"])
                 body += bytes([0x03])
                 body += struct.pack("<I", ((s_us - FIT_EPOCH_US) // 1_000_000) & 0xFFFFFFFF)
                 body += struct.pack("<I", ((e_us - s_us) // 1000) & 0xFFFFFFFF)
-                dist = r.get("dist_m")
-                body += struct.pack(
-                    "<I",
-                    0xFFFFFFFF
-                    if dist is None or not np.isfinite(dist)
-                    else int(round(float(dist) * 100)) & 0xFFFFFFFF,
-                )
+                body += _pack_stat(r.get("dist_m"), 4, 0x86, 100.0)
                 sp = r.get("sport")
                 body += bytes([_SPORT_TO_ENUM.get(sp if isinstance(sp, str) else "", 0)])
-                body += struct.pack("<H", min(0xFFFE, _stat_int(r, "calories", 0xFFFF)) if _stat_int(r, "calories", -1) >= 0 else 0xFFFF)
-                body += bytes([min(0xFE, _stat_int(r, "avg_hr", 0xFF)) if _stat_int(r, "avg_hr", -1) >= 0 else 0xFF])
-                body += bytes([min(0xFE, _stat_int(r, "max_hr", 0xFF)) if _stat_int(r, "max_hr", -1) >= 0 else 0xFF])
+                for _num, size, base, key, scale in _LAP_STATS:
+                    body += _pack_stat(r.get(key), size, base, scale)
+                body += _pack_extras(r, ex_scalar, ex_arrays)
         lengths = spans[spans["kind"] == "length"] if "kind" in spans.columns else spans.iloc[0:0]
         if len(lengths):
             # length def (local 7): start_time(2) u32, total_elapsed(3) u32 ms
@@ -646,31 +908,44 @@ def encode_fit(
                     "<I", ((int(r["start_us"]) - FIT_EPOCH_US) // 1_000_000) & 0xFFFFFFFF
                 )
                 body += bytes([0, 0])  # timer start
-    # session definition (local 2): start_time(2) u32, total_elapsed(7)
-    # u32 ms, total_distance(9) u32 cm, sport(5) enum
-    body += bytes([0x42, 0, 0, 18, 0, 4, 2, 4, 0x86, 7, 4, 0x86, 9, 4, 0x86, 5, 1, 0x00])
+    # session definition (local 2): start_time(2), total_elapsed(7) ms,
+    # total_distance(9) cm, sport(5), then the full dedicated session
+    # stat set (NOTE the shifted field numbers vs laps: avg/max HR is
+    # 16/17 here; 15 is max_speed) plus the shared extras layout
     explicit_sessions = (
         spans[spans["kind"] == "session"]
         if spans is not None and len(spans) and "kind" in spans.columns
         else None
     )
-    if explicit_sessions is not None and len(explicit_sessions):
+    sess_rows = (
+        [r for _, r in explicit_sessions.iterrows()]
+        if explicit_sessions is not None and len(explicit_sessions)
+        else []
+    )
+    ex_scalar, ex_arrays = _span_extras_layout(sess_rows)
+    def_fields = (
+        [(2, 4, 0x86), (7, 4, 0x86), (9, 4, 0x86), (5, 1, 0x00)]
+        + [(num, size, base) for num, size, base, _k, _s in _SESSION_STATS]
+        + [(num, 4, base) for num, base in ex_scalar]
+        + [(num, 4 * count, base) for num, base, count in ex_arrays]
+    )
+    body += bytes([0x42, 0, 0, 18, 0, len(def_fields)])
+    for num, size, base in def_fields:
+        body += bytes([num, size, base])
+    if sess_rows:
         # multi-session files (additionalSessions analog,
         # models.dart:1253): one session message per span row
-        for _, r in explicit_sessions.iterrows():
+        for r in sess_rows:
             s_us, e_us = int(r["start_us"]), int(r["end_us"])
             body += bytes([0x02])
             body += struct.pack("<I", ((s_us - FIT_EPOCH_US) // 1_000_000) & 0xFFFFFFFF)
             body += struct.pack("<I", ((e_us - s_us) // 1000) & 0xFFFFFFFF)
-            dist = r.get("dist_m")
-            body += struct.pack(
-                "<I",
-                0xFFFFFFFF
-                if dist is None or not np.isfinite(dist)
-                else int(round(float(dist) * 100)) & 0xFFFFFFFF,
-            )
+            body += _pack_stat(r.get("dist_m"), 4, 0x86, 100.0)
             sp_v = r.get("sport")
             body += bytes([_SPORT_TO_ENUM.get(sp_v if isinstance(sp_v, str) else "", 0)])
+            for _num, size, base, key, scale in _SESSION_STATS:
+                body += _pack_stat(r.get(key), size, base, scale)
+            body += _pack_extras(r, ex_scalar, ex_arrays)
     elif ts.size:
         start_fit = (int(ts[0]) - FIT_EPOCH_US) // 1_000_000
         elapsed_ms = int((ts[-1] - ts[0]) // 1000)
@@ -679,11 +954,10 @@ def encode_fit(
         body += bytes([0x02])
         body += struct.pack("<I", start_fit & 0xFFFFFFFF)
         body += struct.pack("<I", elapsed_ms & 0xFFFFFFFF)
-        body += struct.pack(
-            "<I",
-            0xFFFFFFFF if total_d is None else int(round(total_d * 100)) & 0xFFFFFFFF,
-        )
+        body += _pack_stat(total_d, 4, 0x86, 100.0)
         body += bytes([_SPORT_TO_ENUM.get(sport or "", 0)])
+        for _num, size, base, _key, _scale in _SESSION_STATS:
+            body += _pack_stat(None, size, base)
     header = struct.pack("<BBHI4s", 14, 0x10, 2140, len(body), b".FIT")
     header += struct.pack("<H", crc16(header))
     blob = header + bytes(body)

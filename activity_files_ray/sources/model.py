@@ -16,6 +16,46 @@ import pandas as pd
 
 EPOCH = _dt.datetime(1970, 1, 1)
 
+# Fixed per-span stat columns (float64, NaN = absent). Mirrors the
+# reference's dedicated Lap / ActivitySummary properties
+# (models.dart:560-700,732-860): HR/cadence/power/speed stats, swim
+# metrics, FIT event ids, strength-set fields. Open-ended FIT extras
+# ride in the JSON columns ``extra_fields`` / ``extra_arrays``.
+SPAN_STAT_COLS = (
+    "calories", "avg_hr", "max_hr", "reps", "weight_kg",
+    "avg_speed", "max_speed", "avg_cadence", "max_cadence",
+    "avg_power", "max_power", "event", "event_type",
+    "num_active_lengths", "swim_stroke",
+    "timer_time_s", "pool_length_m", "avg_stroke_count",
+    "sub_sport", "total_cycles",
+)
+
+
+def dumps_extras(extras: dict | None) -> str | None:
+    """{field_num: scalar-or-list} → canonical JSON (sorted int keys)
+    or None when empty — the wire form of the reference's
+    extraFitFields / extraFitArrays maps (models.dart:632-637)."""
+    import json
+
+    if not extras:
+        return None
+    return json.dumps(
+        {str(int(k)): v for k, v in sorted(extras.items())}, separators=(",", ":")
+    )
+
+
+def loads_extras(s) -> dict:
+    """JSON extras column → {int field_num: value}; tolerant of
+    None/NaN/empty."""
+    import json
+
+    if s is None or (isinstance(s, float)) or not s:
+        return {}
+    try:
+        return {int(k): v for k, v in json.loads(s).items()}
+    except (ValueError, TypeError):
+        return {}
+
 
 def iso_to_us(s: str) -> int | None:
     """Lenient ISO-8601 → unix µs, always UTC-normalized (the
@@ -151,7 +191,20 @@ class ParsedActivity:
                         ],
                         dtype=np.float64,
                     )
-                    for col in ("calories", "avg_hr", "max_hr", "reps", "weight_kg")
+                    for col in SPAN_STAT_COLS
+                },
+                # open FIT extras (lossless round-trip of unmodeled
+                # lap/session fields): canonical JSON or None
+                **{
+                    col: [
+                        dumps_extras(
+                            self.span_stats[i].get(col)
+                            if i < len(self.span_stats) and self.span_stats[i]
+                            else None
+                        )
+                        for i in range(len(self.span_kind))
+                    ]
+                    for col in ("extra_fields", "extra_arrays")
                 },
             }
         )

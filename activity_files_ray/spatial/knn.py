@@ -149,10 +149,12 @@ def nearest_poi(
         resolved = np.sqrt(best_d2[unresolved]) <= r * cell_lat_deg
         unresolved = unresolved[~resolved]
         r += 1
-    if len(unresolved):
+    if len(unresolved) and index.poi_ids.size:
         # stragglers in POI deserts: brute-force against the whole
         # (broadcast-small) POI side — exact, and O(stragglers × POIs)
-        # beats ever-growing disk scans
+        # beats ever-growing disk scans. An EMPTY index keeps
+        # best_idx=-1 / best_d2=inf (argmin over a zero-width axis
+        # would raise), matching k_nearest_poi's kk==0 handling.
         d2_all = (index.mlat[None, :] - qlat[unresolved, None]) ** 2 + (
             index.mlon[None, :] - qlon[unresolved, None]
         ) ** 2

@@ -125,7 +125,7 @@ def mark_laps_by_distance(
         if mono[i] >= next_cut:
             rows.append(
                 (aid, "lap", f"Split {n}", int(ts[lap_start_idx]), int(ts[i]),
-                 float(mono[i] - (mono[lap_start_idx] if lap_start_idx else 0.0)))
+                 float(mono[i] - mono[lap_start_idx]))
             )
             lap_start_idx = i
             n += 1

@@ -182,10 +182,12 @@ FIT_ID_MIN, FIT_ID_MAX = 1, 65534
 
 def validate_device(device: dict, activity_id: str = "") -> pd.DataFrame:
     """V6: blank fields, FIT id ranges (1-65534), name<->id mismatch
-    against the public manufacturer subset."""
+    against the FULL public FIT manufacturer table (validation.dart:
+    598-630 parity — 179 entries, case-insensitive compare)."""
+    from ..sources import fit_profile
+
     rows: list = []
-    known = {1: "garmin", 255: "development", 263: "wahoo_fitness",
-             32: "suunto", 71: "polar"}
+    known = {k: v.lower() for k, v in fit_profile.MANUFACTURERS.items()}
     for key in ("manufacturer", "model", "product"):
         val = device.get(key)
         if val is not None and str(val).strip() == "":

@@ -762,3 +762,214 @@ class TestPerChannelTolerance:
         assert (sp["span_kind"] == "lap").any()
         dg = stage.union_select(union, "diag").to_pandas()
         assert "bad" in set(dg["activity_id"])
+
+
+class TestFitLossless:
+    """FIT losslessness: full lap/session stat set, open extras,
+    compressed speed-distance, manufacturer table, fit_field catch-all
+    (fit_parser.dart:1057-1089 / fit_encoder.dart:1293-1346 parity)."""
+
+    @staticmethod
+    def _fit_file(body: bytes) -> bytes:
+        header = __import__("struct").pack(
+            "<BBHI4s", 14, 0x10, 2140, len(body), b".FIT"
+        )
+        header += __import__("struct").pack("<H", fit_mod.crc16(header))
+        blob = header + body
+        return blob + __import__("struct").pack("<H", fit_mod.crc16(blob))
+
+    def test_full_lap_session_stats_roundtrip(self):
+        import struct
+
+        pts = canonical_points()
+        t0, t2 = int(pts["ts_us"].iloc[0]), int(pts["ts_us"].iloc[2])
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 2,
+                "kind": ["lap", "session"],
+                "start_us": [t0, t0],
+                "end_us": [t2, t2],
+                "sport": ["running", "running"],
+                "dist_m": [1500.0, 1500.0],
+                "calories": [250.0, 250.0],
+                "avg_speed": [3.125, 3.125],
+                "max_speed": [5.501, 5.501],
+                "avg_hr": [141.0, 141.0],
+                "max_hr": [166.0, 166.0],
+                "avg_cadence": [87.0, 87.0],
+                "max_cadence": [95.0, 95.0],
+                "avg_power": [214.0, 214.0],
+                "max_power": [450.0, 450.0],
+                "event": [9.0, np.nan],
+                "event_type": [1.0, np.nan],
+                "num_active_lengths": [20.0, 20.0],
+                "swim_stroke": [1.0, 1.0],
+                "timer_time_s": [np.nan, 3541.25],
+                "pool_length_m": [np.nan, 25.0],
+                "avg_stroke_count": [np.nan, 18.5],
+                "sub_sport": [np.nan, 17.0],
+                "total_cycles": [np.nan, 12345.0],
+            }
+        )
+        payload = fit_mod.encode_fit(pts, None, spans=spans)
+        parsed = fit_mod.parse_fit(payload, "a")
+        assert not [d for d in parsed.diags if d[0] == "error"]
+        sdf = parsed.spans_df().set_index("kind")
+        lap, sess = sdf.loc["lap"], sdf.loc["session"]
+        for col in ("calories", "avg_hr", "max_hr", "avg_cadence",
+                    "max_cadence", "avg_power", "max_power"):
+            assert lap[col] == spans.iloc[0][col], col
+            assert sess[col] == spans.iloc[1][col], col
+        assert lap["avg_speed"] == pytest.approx(3.125, abs=0.001)
+        assert lap["max_speed"] == pytest.approx(5.501, abs=0.001)
+        assert lap["event"] == 9.0 and lap["event_type"] == 1.0
+        assert lap["swim_stroke"] == 1.0 and lap["num_active_lengths"] == 20.0
+        assert sess["timer_time_s"] == pytest.approx(3541.25, abs=0.001)
+        assert sess["pool_length_m"] == pytest.approx(25.0, abs=0.01)
+        assert sess["avg_stroke_count"] == pytest.approx(18.5, abs=0.1)
+        assert sess["sub_sport"] == 17.0 and sess["total_cycles"] == 12345.0
+        # double round-trip is byte-stable
+        p2 = fit_mod.encode_fit(
+            parsed.points_df(), parsed.channels_df(),
+            sport=parsed.sport, spans=parsed.spans_df(),
+        )
+        parsed2 = fit_mod.parse_fit(p2, "a")
+        pd.testing.assert_frame_equal(
+            parsed.spans_df(), parsed2.spans_df(), check_exact=False, atol=1e-9
+        )
+
+    def test_extras_roundtrip(self):
+        # unmodeled lap/session fields (total_ascent=22 on laps,
+        # training_stress_score-ish on sessions) survive FIT->FIT
+        pts = canonical_points()
+        t0, t2 = int(pts["ts_us"].iloc[0]), int(pts["ts_us"].iloc[2])
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 2,
+                "kind": ["lap", "session"],
+                "start_us": [t0, t0],
+                "end_us": [t2, t2],
+                "sport": [None, None],
+                "dist_m": [np.nan, np.nan],
+                "extra_fields": ['{"21":512,"22":480}', '{"34":87,"48":-12}'],
+                "extra_arrays": ['{"57":[12,345,67,8,90]}', None],
+            }
+        )
+        payload = fit_mod.encode_fit(pts, None, spans=spans)
+        parsed = fit_mod.parse_fit(payload, "a")
+        assert not [d for d in parsed.diags if d[0] == "error"]
+        sdf = parsed.spans_df().set_index("kind")
+        assert sdf.loc["lap", "extra_fields"] == '{"21":512.0,"22":480.0}'
+        assert sdf.loc["lap", "extra_arrays"] == '{"57":[12.0,345.0,67.0,8.0,90.0]}'
+        assert sdf.loc["session", "extra_fields"] == '{"34":87.0,"48":-12.0}'
+        assert sdf.loc["session", "extra_arrays"] is None
+        p2 = fit_mod.encode_fit(
+            parsed.points_df(), parsed.channels_df(),
+            sport=parsed.sport, spans=parsed.spans_df(),
+        )
+        assert payload == p2  # byte-stable with extras present
+
+    def test_session_hr_field_numbers(self):
+        # session avg/max HR live at 16/17 (15 is max_speed) — a raw
+        # session message with all three set must not cross the wires
+        import struct
+
+        body = bytearray()
+        # session def (local 0): start_time(2) u32, elapsed(7) u32,
+        # max_speed(15) u16, avg_hr(16) u8, max_hr(17) u8
+        body += bytes([0x40, 0, 0, 18, 0, 5,
+                       2, 4, 0x86, 7, 4, 0x86, 15, 2, 0x84,
+                       16, 1, 0x02, 17, 1, 0x02])
+        body += bytes([0x00])
+        body += struct.pack("<I", 1_000_000_000)
+        body += struct.pack("<I", 60_000)
+        body += struct.pack("<H", 12000)  # max_speed raw -> 12.0 m/s
+        body += bytes([142])  # avg_hr
+        body += bytes([171])  # max_hr
+        parsed = fit_mod.parse_fit(self._fit_file(bytes(body)), "a")
+        sdf = parsed.spans_df()
+        sess = sdf[sdf["kind"] == "session"].iloc[0]
+        assert sess["avg_hr"] == 142.0
+        assert sess["max_hr"] == 171.0
+        assert sess["max_speed"] == pytest.approx(12.0, abs=0.001)
+
+    def test_compressed_speed_distance(self):
+        # legacy field 8: 12-bit speed (scale 100) + 12-bit distance
+        # delta accumulator (scale 16) with rollover
+        import struct
+
+        def rec(ts, speed_raw, dist_raw):
+            packed = (speed_raw & 0xFFF) | ((dist_raw & 0xFFF) << 12)
+            return bytes([0x00]) + struct.pack("<I", ts) + bytes(
+                [packed & 0xFF, (packed >> 8) & 0xFF, (packed >> 16) & 0xFF]
+            )
+
+        body = bytearray()
+        # record def (local 0): timestamp(253) u32, csd(8) byte[3]
+        body += bytes([0x40, 0, 0, 20, 0, 2, 253, 4, 0x86, 8, 3, 0x0D])
+        body += rec(1_000_000_000, 250, 4000)   # seed: accum 0
+        body += rec(1_000_000_001, 300, 4080)   # +80 -> 5.0 m
+        body += rec(1_000_000_002, 350, 40)     # rollover: +(40-4080)&0xFFF=56 -> 8.5 m
+        parsed = fit_mod.parse_fit(self._fit_file(bytes(body)), "a")
+        ch = parsed.channels_df()
+        sp = ch[ch["channel"] == "speed"].sort_values("ts_us")["value"].tolist()
+        assert sp == pytest.approx([2.5, 3.0, 3.5])
+        d = ch[ch["channel"] == "distance"].sort_values("ts_us")["value"].tolist()
+        assert d == pytest.approx([0.0, 5.0, 8.5])
+
+    def test_csd_explicit_fields_win(self):
+        import struct
+
+        body = bytearray()
+        # record def: timestamp(253), speed(6) u16, distance(5) u32, csd(8)
+        body += bytes([0x40, 0, 0, 20, 0, 4,
+                       253, 4, 0x86, 6, 2, 0x84, 5, 4, 0x86, 8, 3, 0x0D])
+        packed = (250 & 0xFFF) | ((4000 & 0xFFF) << 12)
+        body += (bytes([0x00]) + struct.pack("<I", 1_000_000_000)
+                 + struct.pack("<H", 4200) + struct.pack("<I", 123400)
+                 + bytes([packed & 0xFF, (packed >> 8) & 0xFF, (packed >> 16) & 0xFF]))
+        parsed = fit_mod.parse_fit(self._fit_file(bytes(body)), "a")
+        ch = parsed.channels_df()
+        assert ch[ch["channel"] == "speed"]["value"].tolist() == [4.2]
+        assert ch[ch["channel"] == "distance"]["value"].tolist() == [1234.0]
+
+    def test_manufacturer_table(self):
+        from activity_files_ray.sources import fit_profile
+        from activity_files_ray.stages import validate as vd
+
+        pts = canonical_points()
+        payload = fit_mod.encode_fit(pts, None, manufacturer_id=32)
+        parsed = fit_mod.parse_fit(payload, "a")
+        assert parsed.metadata["manufacturer"] == "Wahoo Fitness"
+        assert parsed.metadata["fit_manufacturer_id"] == "32"
+        assert parsed.creator.startswith("FIT Device Wahoo Fitness")
+        assert fit_profile.manufacturer_id("wahoo fitness") == 32
+        assert fit_profile.manufacturer_name(9999) == "manufacturer_9999"
+        # V6: name<->id mismatch fires against the full table
+        d = vd.validate_device(
+            {"manufacturer": "Garmin", "fit_manufacturer_id": 32}, "a"
+        )
+        assert (d["code"] == "validation.device.name_id_mismatch").any()
+        d_ok = vd.validate_device(
+            {"manufacturer": "Wahoo Fitness", "fit_manufacturer_id": 32}, "a"
+        )
+        assert not (d_ok["code"] == "validation.device.name_id_mismatch").any()
+
+    def test_fit_field_catch_all_roundtrip(self):
+        import struct
+
+        body = bytearray()
+        # record def: timestamp(253) u32, vertical_oscillation-ish(39) u16
+        body += bytes([0x40, 0, 0, 20, 0, 2, 253, 4, 0x86, 39, 2, 0x84])
+        for i, v in enumerate((1010, 1020, 1030)):
+            body += bytes([0x00]) + struct.pack("<I", 1_000_000_000 + i) + struct.pack("<H", v)
+        parsed = fit_mod.parse_fit(self._fit_file(bytes(body)), "a")
+        ch = parsed.channels_df()
+        got = ch[ch["channel"] == "fit_field_39"].sort_values("ts_us")["value"].tolist()
+        assert got == [1010.0, 1020.0, 1030.0]
+        # re-encode emits it as a native field again, not a dev field
+        p2 = fit_mod.encode_fit(parsed.points_df(), parsed.channels_df())
+        parsed2 = fit_mod.parse_fit(p2, "a")
+        ch2 = parsed2.channels_df()
+        got2 = ch2[ch2["channel"] == "fit_field_39"].sort_values("ts_us")["value"].tolist()
+        assert got2 == [1010.0, 1020.0, 1030.0]
