@@ -705,9 +705,10 @@ GROUP BY array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 5), ' ')
 
 
 def q_lang_id_counts(sf_dir: str):
-    """Language-ID heuristic (stopword voting) — no SQL oracle (the
-    heuristic isn't SQL-expressible); rows-only driver check, exact
-    oracle in tests/test_text.py."""
+    """Language-ID heuristic (stopword voting), oracled: the vote is
+    materialized in SQL as per-language stopword-hit counts + the same
+    argmax/tie-break CASE (first language in registration order wins
+    ties; 'und' when every score is 0)."""
     ds = _read(sf_dir, "documents", ["text"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -718,6 +719,106 @@ def q_lang_id_counts(sf_dir: str):
         ["lang_pred"],
         {"n_docs": ("", "count")},
     )
+
+
+def _sql_lang_id_counts() -> str:
+    """Generated from the SAME stopword lists as functions/text.py —
+    single source of truth, like the cell/PIP expression generators."""
+    langs = list(text._LANG_STOPWORDS)  # registration order = tie-break order
+    score_cols = []
+    for lang in langs:
+        stops = ", ".join(f"'{w}'" for w in sorted(text._LANG_STOPWORDS[lang]))
+        score_cols.append(
+            f"len(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+            f"t -> t IN ({stops}))) AS s_{lang}"
+        )
+    # python picks the FIRST language with a strictly greater score →
+    # earlier languages win ties
+    branches = []
+    for i, lang in enumerate(langs):
+        others = [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(others) if others else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+  SELECT CASE WHEN greatest({greatest}) = 0 THEN 'und'
+    {' '.join(branches)} END AS lang_pred
+  FROM (SELECT {', '.join(score_cols)} FROM documents)
+) GROUP BY lang_pred
+"""
+
+
+SQL_LANG_ID_COUNTS = _sql_lang_id_counts()
+
+
+def q_fit_extra_roundtrip(sf_dir: str):
+    """FIT losslessness as an ORACLED end-to-end query: every order
+    becomes a FIT payload whose session carries the order's price (in
+    cents) as an UNMODELED extra field (35) plus an unmodeled array
+    field (57); the pipeline encodes, parses back and aggregates the
+    recovered extras per order status. Any dropped or corrupted extra
+    changes the sums → hash mismatch vs the direct SQL aggregate.
+    Exercises fit_parser.dart:1057-1089 / fit_encoder.dart:1293-1346
+    parity (extraFitFields/extraFitArrays) under Ray map_batches."""
+    from ..sources import fit as fit_mod
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    s_us = int(fit_mod.FIT_EPOCH_US + 1_000_000_000 * 1_000_000)
+    empty_pts = pd.DataFrame(
+        {"ts_us": pd.Series(dtype="int64"), "lat": pd.Series(dtype="float64"),
+         "lon": pd.Series(dtype="float64")}
+    )
+
+    def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _i100(df["o_totalprice"].to_numpy())
+        got_scalar = np.empty(len(df), dtype=np.int64)
+        got_arr0 = np.empty(len(df), dtype=np.int64)
+        for i, (key, c) in enumerate(zip(df["o_orderkey"], cents)):
+            spans = pd.DataFrame(
+                {
+                    "activity_id": [str(key)],
+                    "kind": ["session"],
+                    "start_us": [s_us],
+                    "end_us": [s_us + 60_000_000],
+                    "sport": [None],
+                    "dist_m": [np.nan],
+                    "extra_fields": [f'{{"35":{int(c)}}}'],
+                    "extra_arrays": [f'{{"57":[{int(c)},{int(key)}]}}'],
+                }
+            )
+            payload = fit_mod.encode_fit(empty_pts, None, spans=spans)
+            parsed = fit_mod.parse_fit(payload, str(key))
+            stats = parsed.span_stats[0] if parsed.span_stats else {}
+            got_scalar[i] = int(stats.get("extra_fields", {}).get(35, -1))
+            # second array element carries the order key — recovered
+            # independently of the scalar so arrays are checked too
+            got_arr0[i] = int(stats.get("extra_arrays", {}).get(57, [-1, -1])[1])
+        return pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "sum_extra": got_scalar,
+                "sum_extra_arr": got_arr0,
+            }
+        )
+
+    return agg.tree_aggregate(
+        ds.map_batches(roundtrip, batch_format="pandas", batch_size=None),
+        ["o_orderstatus"],
+        {
+            "n_orders": ("", "count"),
+            "sum_extra": ("sum_extra", "sum"),
+            "sum_extra_arr": ("sum_extra_arr", "sum"),
+        },
+    )
+
+
+SQL_FIT_EXTRA_ROUNDTRIP = f"""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM({SQL_I100.format(e="o_totalprice")}) AS BIGINT) AS sum_extra,
+  CAST(SUM(o_orderkey) AS BIGINT) AS sum_extra_arr
+FROM orders GROUP BY o_orderstatus
+"""
 
 
 # =========================================================================
@@ -1306,9 +1407,9 @@ FROM events
 def q_pip_grid_counts(sf_dir: str):
     """PIP join against the production-scale polygon corpus (288
     world-tiling convex regions, ~38% match rate) → per-region counts.
-    Rows-only: generating 288 × ~7 half-plane SQL predicates is
-    possible but pointless — the 4-region `pip_regions` oracle proves
-    the kernel; this query proves the corpus-scale index path."""
+    Oracled: the SQL is GENERATED from the same 288 polygon vertex
+    sets (one half-plane conjunction per region, union-all'd), so the
+    corpus-scale index path is hash-checked, not just row-counted."""
     import ray
 
     from .. import fixtures
@@ -1324,6 +1425,26 @@ def q_pip_grid_counts(sf_dir: str):
     return agg.tree_aggregate(
         joined.select_columns(["region_id"]), ["region_id"], {"n": ("", "count")}
     )
+
+
+def _sql_pip_grid_counts() -> str:
+    """288 generated half-plane conjunctions (same vertex constants as
+    the Ray index — the `convex_pip_sql_expr` single-source rule)."""
+    from .. import fixtures
+
+    parts = [
+        f"SELECT '{p.region_id}' AS region_id FROM events "
+        f"WHERE {polygons.convex_pip_sql_expr(p, _EVENT_LAT_SQL, _EVENT_LON_SQL)}"
+        for p in fixtures.make_region_grid()
+    ]
+    inner = " UNION ALL ".join(parts)
+    return (
+        f"SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n FROM ({inner}) "
+        "GROUP BY region_id"
+    )
+
+
+SQL_PIP_GRID_COUNTS = _sql_pip_grid_counts()
 
 
 def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
@@ -1378,7 +1499,8 @@ QUERIES: dict[str, tuple] = {
     "doc_dedup_exact": (q_doc_dedup_exact, SQL_DOC_DEDUP_EXACT),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "doc_fingerprint_groups": (q_doc_fingerprint_groups, SQL_DOC_FINGERPRINT),
-    "lang_id_counts": (q_lang_id_counts, None),
+    "lang_id_counts": (q_lang_id_counts, SQL_LANG_ID_COUNTS),
+    "fit_extra_roundtrip": (q_fit_extra_roundtrip, SQL_FIT_EXTRA_ROUNDTRIP),
     "embed_axis_topk": (q_embed_axis_topk, SQL_EMBED_AXIS_TOPK),
     "embed_cosine_topk": (q_embed_cosine_topk, None),
     "minhash_dupes": (q_minhash_dupes, None),
@@ -1400,5 +1522,5 @@ QUERIES: dict[str, tuple] = {
     "image_phash_dedup": (q_image_phash_dedup, None),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "global_ts_window": (q_global_ts_window, SQL_GLOBAL_TS_WINDOW),
-    "pip_grid_counts": (q_pip_grid_counts, None),
+    "pip_grid_counts": (q_pip_grid_counts, SQL_PIP_GRID_COUNTS),
 }
