@@ -8,10 +8,11 @@ banded LSH). Ray-Data-first shape:
 * signatures are computed per batch (vectorized numpy over token
   hashes) — the only full-corpus pass;
 * LSH bucketing emits (band_key, doc_id) rows; buckets with ≥2 docs
-  become candidate pairs (at bench scale the bucket table is small
-  and folds on the driver; at 100 TB the same rows feed a
-  ``groupby(band_key)`` shuffle instead — the emit format is
-  identical);
+  become candidate pairs. Candidate generation AUTO-selects its plan
+  (``SHUFFLE_THRESHOLD_DOCS``): small corpora fold the bucket table
+  on the driver, larger ones run a real ``groupby(band_key)`` shuffle
+  so the driver only ever sees pairs — both plans emit identical
+  pairs (tested);
 * candidate pairs are VERIFIED with the exact measure (Jaccard on
   shingle sets / Hamming on simhash / cosine on vectors) — LSH only
   proposes;
@@ -38,6 +39,39 @@ def _fnv1a64(s: str) -> int:
     return h
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a64_many(tokens: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a over a token list — bit-identical to
+    :func:`_fnv1a64` but the Python-level loop runs per BYTE COLUMN
+    (longest-token length, ~10 iterations) instead of per byte
+    (was the minhash hot spot: ~10-30× fewer interpreter steps).
+
+    Tokens are packed into one contiguous byte buffer, scattered into
+    a padded (n × maxlen) uint8 matrix with one fancy-index, then the
+    sequential FNV recurrence runs down the columns with a mask for
+    finished tokens."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = [t.encode() for t in tokens]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    mask = np.arange(maxlen)[None, :] < lens[:, None]
+    buf[mask] = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            live = lens > j
+            h[live] = (h[live] ^ buf[live, j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
 
 _SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant
 
@@ -54,9 +88,7 @@ def shingle_set(text: str, k: int = 3) -> np.ndarray:
     toks = text.split()
     if not toks:
         return np.zeros(1, dtype=np.uint64)
-    th = np.fromiter(
-        (_fnv1a64(t) for t in toks), dtype=np.uint64, count=len(toks)
-    )
+    th = _fnv1a64_many(toks)
     if len(toks) < k:
         acc = th[0]
         for x in th[1:]:
@@ -129,17 +161,20 @@ def band_keys(sig: np.ndarray, bands: int) -> list[int]:
     return keys
 
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_BIT_VALUES = (np.uint64(1) << _BIT_SHIFTS)
+
+
 def simhash64(text: str) -> int:
-    """Charikar 64-bit SimHash over whitespace tokens."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split():
-        h = _fnv1a64(tok)
-        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
+    """Charikar 64-bit SimHash over whitespace tokens (vectorized:
+    one (tokens × 64) bit matrix per document, no per-token loop)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    th = _fnv1a64_many(toks)
+    bits = (th[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = _BIT_VALUES[acc > 0].sum(dtype=np.uint64)
     return int(out.astype(np.int64))
 
 
@@ -163,6 +198,72 @@ class _UnionFind:
         ra, rb = self.find(a), self.find(b)
         if ra != rb:
             self.parent[max(ra, rb)] = min(ra, rb)
+
+
+# above this corpus size, candidate generation defaults to the real
+# groupby(band_key) shuffle: the driver-side bucket fold materializes
+# O(corpus × bands) rows, fine for test corpora, wrong at scale
+SHUFFLE_THRESHOLD_DOCS = 150_000
+
+
+def _auto_shuffle(ds, use_shuffle: bool | None) -> bool:
+    if use_shuffle is not None:
+        return use_shuffle
+    try:
+        return ds.count() > SHUFFLE_THRESHOLD_DOCS
+    except Exception:  # noqa: BLE001 — count unavailable → safe default
+        return True
+
+
+def _coalesce_small(ds, target_rows_per_block: int = 512):
+    """Right-size blocks for the signature pass: Ray splits even a
+    small single-file read into ~2×CPU blocks, and at ~0.5 ms/doc the
+    per-task overhead then dominates (measured: 64 blocks → 2.0 s,
+    8 blocks → 0.9 s for the same 5 k-doc corpus). Coalesce ONLY
+    small corpora — at real corpus scale (> SHUFFLE_THRESHOLD_DOCS)
+    the input is many files, blocks are already fat, and a
+    repartition would be a pointless all-to-all."""
+    try:
+        n = ds.count()
+    except Exception:  # noqa: BLE001
+        return ds
+    if 0 < n <= SHUFFLE_THRESHOLD_DOCS:
+        return ds.repartition(int(max(1, min(64, n // target_rows_per_block))))
+    return ds
+
+
+def _pairs_via_shuffle(
+    bucket_rows, max_bucket: int = 64, carry: str | None = None
+) -> pd.DataFrame:
+    """(doc_id, band_key[, carry]) Dataset → candidate-pair DataFrame
+    through a real ``groupby(band_key)`` shuffle — the corpus-scale
+    plan: each band bucket is co-located on one worker and emits its
+    pairs there; the driver only ever sees PAIRS, never the bucket
+    table. ``carry`` duplicates a per-doc column onto both pair sides
+    (e.g. simhash fingerprints) so verification needs no second
+    corpus pass."""
+    cols = ["a", "b"] + ([f"{carry}_a", f"{carry}_b"] if carry else [])
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2 or len(g) > max_bucket:
+            return pd.DataFrame(columns=cols)
+        ids = g["doc_id"].tolist()
+        cv = g[carry].tolist() if carry else None
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append(
+                    (ids[i], ids[j], cv[i], cv[j]) if carry else (ids[i], ids[j])
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        bucket_rows.groupby("band_key")
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+    )
 
 
 def _pairs_from_buckets(bucket_df: pd.DataFrame, max_bucket: int = 64) -> set[tuple]:
@@ -197,17 +298,20 @@ def minhash_dedup(
     threshold: float = 0.8,
     shingle_k: int = 3,
     seed: int = 42,
-    use_shuffle: bool = False,
+    use_shuffle: bool | None = None,
 ):
     """MinHash+LSH near-dup detection over a Dataset of documents.
 
     Returns (clusters_df(doc_id, cluster_id) for docs in any
     near-dup cluster, verified_pairs_df(a, b, jaccard)).
-    ``use_shuffle=True`` routes candidate generation through a real
+    ``use_shuffle`` routes candidate generation through a real
     ``groupby(band_key)`` shuffle (the corpus-scale plan — the driver
-    only sees candidate pairs); the default driver-fold is faster at
-    bench scale. Both produce identical pairs.
+    only sees candidate pairs); the driver-fold is faster at bench
+    scale. Default (None) picks the shuffle automatically above
+    ``SHUFFLE_THRESHOLD_DOCS``. Both produce identical pairs.
     """
+    use_shuffle = _auto_shuffle(ds, use_shuffle)
+    ds = _coalesce_small(ds)
     hasher = FastMinHasher(n_perm, seed)
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -221,25 +325,7 @@ def minhash_dedup(
 
     bucket_rows = ds.map_batches(sig_batch, batch_format="pandas", batch_size=None)
     if use_shuffle:
-        # the 100 TB path: co-locate each band bucket with a real
-        # groupby shuffle and emit candidate pairs per group — the
-        # driver only ever sees pairs, never the bucket table
-        def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-            ids = sorted(set(g["doc_id"]))
-            if len(ids) < 2 or len(ids) > 64:
-                return pd.DataFrame(columns=["a", "b"])
-            out = [
-                (ids[i], ids[j])
-                for i in range(len(ids))
-                for j in range(i + 1, len(ids))
-            ]
-            return pd.DataFrame(out, columns=["a", "b"])
-
-        pair_df = (
-            bucket_rows.groupby("band_key")
-            .map_groups(pairs_of_group, batch_format="pandas")
-            .to_pandas()
-        )
+        pair_df = _pairs_via_shuffle(bucket_rows)
         pairs = set(zip(pair_df["a"], pair_df["b"]))
     else:
         pairs = _pairs_from_buckets(bucket_rows.to_pandas())
@@ -275,30 +361,58 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    use_shuffle: bool | None = None,
 ):
     """SimHash near-dup: 64-bit fingerprints, banded 16-bit buckets
-    for candidates, exact Hamming verification."""
-    def fp_batch(df: pd.DataFrame) -> pd.DataFrame:
-        fps = [simhash64(t) for t in df[text_col].fillna("")]
-        return pd.DataFrame({"doc_id": df[id_col], "fp": np.asarray(fps, dtype=np.int64)})
+    for candidates, exact Hamming verification.
 
-    fps = ds.map_batches(fp_batch, batch_format="pandas", batch_size=None).to_pandas()
+    The shuffle path (auto above ``SHUFFLE_THRESHOLD_DOCS``) emits
+    (doc_id, fp, band_key) rows and generates candidates inside a
+    real ``groupby(band_key)`` — fingerprints ride along on both pair
+    sides, so the driver never materializes the fingerprint table."""
+    use_shuffle = _auto_shuffle(ds, use_shuffle)
+    ds = _coalesce_small(ds)
     width = 64 // bands
-    rows = []
-    for bnd in range(bands):
-        key = (
-            (fps["fp"].to_numpy(np.int64).view(np.uint64) >> np.uint64(bnd * width))
-            & np.uint64((1 << width) - 1)
-        ).astype(np.int64)
-        rows.append(
-            pd.DataFrame({"doc_id": fps["doc_id"], "band_key": (np.int64(bnd) << np.int64(58)) ^ key})
+
+    def fp_band_batch(df: pd.DataFrame) -> pd.DataFrame:
+        fps = np.asarray(
+            [simhash64(t) for t in df[text_col].fillna("")], dtype=np.int64
         )
-    pairs = _pairs_from_buckets(pd.concat(rows, ignore_index=True))
-    fp_of = dict(zip(fps["doc_id"], fps["fp"]))
+        frames = []
+        for bnd in range(bands):
+            key = (
+                (fps.view(np.uint64) >> np.uint64(bnd * width))
+                & np.uint64((1 << width) - 1)
+            ).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": df[id_col],
+                        "fp": fps,
+                        "band_key": (np.int64(bnd) << np.int64(58)) ^ key,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    buckets = ds.map_batches(fp_band_batch, batch_format="pandas", batch_size=None)
+    if use_shuffle:
+        pair_df = _pairs_via_shuffle(buckets, carry="fp")
+        cand = {
+            (a, b): (fa, fb)
+            for a, b, fa, fb in zip(
+                pair_df["a"], pair_df["b"], pair_df["fp_a"], pair_df["fp_b"]
+            )
+        }
+    else:
+        bpd = buckets.to_pandas()
+        pairs = _pairs_from_buckets(bpd[["doc_id", "band_key"]])
+        fp_of = dict(zip(bpd["doc_id"], bpd["fp"]))
+        cand = {(a, b): (fp_of[a], fp_of[b]) for a, b in pairs}
     uf = _UnionFind()
     verified = []
-    for a, b in sorted(pairs):
-        hd = hamming64(fp_of[a], fp_of[b])
+    for (a, b), (fa, fb) in sorted(cand.items()):
+        hd = hamming64(int(fa), int(fb))
         if hd <= max_hamming:
             verified.append((a, b, hd))
             uf.union(a, b)
@@ -316,9 +430,13 @@ def embedding_near_dup(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 42,
+    use_shuffle: bool | None = None,
 ):
     """Embedding-cosine near-dup via random-hyperplane LSH buckets +
-    exact cosine verification."""
+    exact cosine verification. The shuffle path (auto above
+    ``SHUFFLE_THRESHOLD_DOCS``) generates candidates inside a real
+    ``groupby(band_key)``; only candidate vectors are then fetched."""
+    use_shuffle = _auto_shuffle(ds, use_shuffle)
     first = ds.take(1)
     dim = len(first[0][vec_col]) if first else 0
     rng = np.random.default_rng(seed)
@@ -332,8 +450,12 @@ def embedding_near_dup(
             keys |= signs[:, i].astype(np.int64) << i
         return pd.DataFrame({"doc_id": df[id_col], "band_key": keys})
 
-    buckets = ds.map_batches(bucket_batch, batch_format="pandas", batch_size=None).to_pandas()
-    pairs = _pairs_from_buckets(buckets, max_bucket=256)
+    buckets_ds = ds.map_batches(bucket_batch, batch_format="pandas", batch_size=None)
+    if use_shuffle:
+        pair_df = _pairs_via_shuffle(buckets_ds, max_bucket=256)
+        pairs = set(zip(pair_df["a"], pair_df["b"]))
+    else:
+        pairs = _pairs_from_buckets(buckets_ds.to_pandas(), max_bucket=256)
     cand_ids = sorted({d for p in pairs for d in p})
     if not cand_ids:
         return (

@@ -471,15 +471,24 @@ _EVENT_LON_SQL = f"({EVENT_LON_CD} / 100.0)"
 
 
 def q_cell_counts(sf_dir: str, repeat: int = 1, points_path: str | None = None):
-    """Vectorized lat/lng→cell + per-tile counts with the
-    partial-combiner plan (north_rule tile assignment)."""
+    """Vectorized lat/lng→cell + per-tile counts (north_rule tile
+    assignment): per-batch partial counts → real ``groupby(cell)``
+    hash shuffle. Level-15 cell cardinality tracks the point count at
+    10^12 rows (10^8–10^9 distinct cells), so the driver-merged
+    combiner tree is out (agg.py rule); the partial stage still
+    collapses hot cells per batch before the exchange, bounding skew
+    (same plan as ``spatial.stages.tile_counts``)."""
+    from ray.data.aggregate import Sum
+
     enc = _derived_points_ds(sf_dir, repeat, points_path).map_batches(
         stages.add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": CELL_LEVEL},
         batch_size=None,
     )
-    return agg.tree_aggregate(
-        enc.select_columns(["cell"]), ["cell"], {"n": ("", "count")}
+    partial = enc.map_batches(
+        stages.partial_counts, batch_format="pyarrow",
+        fn_kwargs={"key_col": "cell"}, batch_size=None,
     )
+    return partial.groupby("cell").aggregate(Sum("n", alias_name="n"))
 
 
 SQL_CELL_COUNTS = f"""
@@ -490,9 +499,20 @@ FROM events GROUP BY cell
 
 
 def q_hot_cells(sf_dir: str):
-    """Top-20 hottest tiles (skew probe; deterministic tie-break)."""
+    """Top-20 hottest tiles (skew probe; deterministic tie-break):
+    per-block top-20 over the grouped counts, then a tiny driver
+    merge — the driver sees ≤ 20 × #blocks rows, never the full
+    per-cell table."""
+    counts = q_cell_counts(sf_dir)
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "cell"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
     return (
-        q_cell_counts(sf_dir)
+        counts.map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .to_pandas()
         .sort_values(["n", "cell"], ascending=[False, True], kind="mergesort")
         .head(20)
         .reset_index(drop=True)
@@ -617,9 +637,15 @@ SELECT event_id, poi_partkey, dist2_cd FROM (
 
 
 def q_doc_dedup_exact(sf_dir: str):
-    """Exact dedup: content-hash partition, keep smallest doc_id
-    (hash computed per batch so the shuffle carries 32-byte keys, not
-    document bodies)."""
+    """Exact dedup: content-hash partition, keep smallest doc_id.
+
+    Key cardinality ≈ corpus size, so this is the one aggregate shape
+    that REQUIRES the real ``ds.groupby`` hash shuffle (agg.py rule /
+    SCALE.md §4) — the combiner tree would materialize one row per
+    distinct document on the driver. The shuffle carries 32-byte hash
+    keys, never document bodies."""
+    from ray.data.aggregate import Count, Min
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
@@ -633,12 +659,12 @@ def q_doc_dedup_exact(sf_dir: str):
             }
         )
 
-    grouped = agg.tree_aggregate(
-        ds.map_batches(add_hash, batch_format="pandas", batch_size=None),
-        ["h"],
-        {"doc_id": ("doc_id", "min"), "n_copies": ("", "count")},
+    grouped = (
+        ds.map_batches(add_hash, batch_format="pandas", batch_size=None)
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )
-    return grouped[["doc_id", "n_copies"]]
+    return grouped.select_columns(["doc_id", "n_copies"])
 
 
 SQL_DOC_DEDUP_EXACT = """
@@ -689,12 +715,16 @@ def q_doc_fingerprint_groups(sf_dir: str):
             {"doc_id": df["doc_id"], "fp": text.token_fingerprint(df["text"], 5)}
         )
 
-    grouped = agg.tree_aggregate(
-        ds.map_batches(add_fp, batch_format="pandas", batch_size=None),
-        ["fp"],
-        {"doc_id": ("doc_id", "min"), "n_members": ("", "count")},
+    # fingerprint cardinality tracks corpus size → real groupby
+    # shuffle, not the driver-merged combiner tree (agg.py rule)
+    from ray.data.aggregate import Count, Min
+
+    grouped = (
+        ds.map_batches(add_fp, batch_format="pandas", batch_size=None)
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_members"))
     )
-    return grouped[["doc_id", "n_members"]]
+    return grouped.select_columns(["doc_id", "n_members"])
 
 
 SQL_DOC_FINGERPRINT = r"""
@@ -954,21 +984,33 @@ def q_doc_quality(sf_dir: str):
 
 def q_doc_fingerprint64(sf_dir: str):
     """Rolling-hash 64-bit document fingerprints: distinct count per
-    lang — SQL-oracle-free (hash fn not in SQL); rows-only."""
+    lang — SQL-oracle-free (hash fn not in SQL); rows-only.
+
+    Distributed distinct plan: per-batch (lang, fp, cnt) partials →
+    ``groupby(lang, fp)`` hash shuffle (key-per-row cardinality →
+    real shuffle per the agg.py rule) → tiny per-lang combiner over
+    the distinct pairs. The driver never sees the fingerprint table."""
+    from ray.data.aggregate import Sum
+
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        part = pd.DataFrame(
             {"lang": df["lang"], "fp": text.rolling_fingerprint64(df["text"])}
         )
+        return part.groupby(["lang", "fp"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
 
-    fps = ds.map_batches(prep, batch_format="pandas", batch_size=None).to_pandas()
-    out = fps.groupby("lang", as_index=False).agg(
-        n_docs=("fp", "size"), n_distinct=("fp", "nunique")
+    distinct = (
+        ds.map_batches(prep, batch_format="pandas", batch_size=None)
+        .groupby(["lang", "fp"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
     )
-    out["n_docs"] = out["n_docs"].astype("int64")
-    out["n_distinct"] = out["n_distinct"].astype("int64")
-    return out
+    out = agg.tree_aggregate(
+        distinct, ["lang"], {"n_docs": ("cnt", "sum"), "n_distinct": ("", "count")}
+    )
+    return out[["lang", "n_docs", "n_distinct"]]
 
 
 

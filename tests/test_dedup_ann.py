@@ -186,3 +186,53 @@ class TestCrossProcessDeterminism:
             )
             outs.add(r.stdout.strip())
         assert len(outs) == 1
+
+
+class TestVectorizedHashing:
+    def test_fnv_many_matches_scalar(self):
+        toks = ["", "a", "the", "tokenization", "Ünïcødé™", "x" * 300]
+        many = dedup._fnv1a64_many(toks)
+        for t, h in zip(toks, many):
+            assert int(h) == dedup._fnv1a64(t), t
+
+    def test_fnv_many_empty(self):
+        assert dedup._fnv1a64_many([]).size == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShufflePathParity:
+    """The groupby(band_key) shuffle plan and the small-corpus driver
+    fold must propose identical candidates for every LSH family."""
+
+    def test_simhash_shuffle_equals_fold(self):
+        import ray.data as rd
+
+        ds = rd.from_pandas(planted_corpus())
+        c1, p1 = dedup.simhash_dedup(ds, max_hamming=10, use_shuffle=False)
+        c2, p2 = dedup.simhash_dedup(ds, max_hamming=10, use_shuffle=True)
+        a = {tuple(sorted(x)) for x in zip(p1["a"], p1["b"])}
+        b = {tuple(sorted(x)) for x in zip(p2["a"], p2["b"])}
+        assert a == b
+        pd.testing.assert_frame_equal(
+            c1.reset_index(drop=True), c2.reset_index(drop=True)
+        )
+
+    def test_embedding_shuffle_equals_fold(self):
+        import ray.data as rd
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((40, 16))
+        base[13] = base[7] + rng.standard_normal(16) * 0.01  # planted near-dup
+        base[29] = base[3] + rng.standard_normal(16) * 0.01
+        df = pd.DataFrame(
+            {"vec_id": np.arange(40), "embedding": [v for v in base]}
+        )
+        ds = rd.from_pandas(df)
+        c1, p1 = dedup.embedding_near_dup(ds, threshold=0.9, use_shuffle=False)
+        c2, p2 = dedup.embedding_near_dup(ds, threshold=0.9, use_shuffle=True)
+        a = {tuple(sorted(x)) for x in zip(p1["a"], p1["b"])}
+        b = {tuple(sorted(x)) for x in zip(p2["a"], p2["b"])}
+        assert a == b and a
+        pd.testing.assert_frame_equal(
+            c1.reset_index(drop=True), c2.reset_index(drop=True)
+        )
