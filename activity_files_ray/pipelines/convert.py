@@ -33,58 +33,72 @@ def convert_corpus(
     """payloads Dataset → (encoded Dataset, diagnostics Dataset).
 
     ``encoded``: (activity_id, fmt, bytes, n_errors); ``diagnostics``:
-    parse (+validation) diagnostics.
+    parse (+lossiness+validation when ``validate``) diagnostics.
 
-    SHUFFLE-FREE: one payload row IS one activity (SURVEY §3.3 —
-    activities are embarrassingly parallel), so the whole
-    parse→normalize→autofix→validate→encode chain runs inside a
-    single ``map_batches`` kernel per row. An earlier version ran
-    three ``groupby("activity_id")`` stages and paid three pointless
-    sort shuffles (~7× slower). Use :func:`convert_points_corpus` for
+    SHUFFLE-FREE and SINGLE-PARSE: one payload row IS one activity
+    (SURVEY §3.3 — activities are embarrassingly parallel), so the
+    whole parse→normalize→autofix→validate→encode chain runs inside a
+    single ``map_batches`` kernel per row, which emits the encoded
+    bytes AND that payload's diagnostics (as a JSON cell) in ONE
+    pass — an earlier version re-parsed every payload up to three
+    times across the encoded/diagnostics/validation streams. The
+    combined table is materialized once (it is the pipeline OUTPUT,
+    ≈ input-sized, object-store-spillable) so forking it into the two
+    result Datasets cannot re-execute the parse; at 100 TB the same
+    fork is a ``write_parquet`` checkpoint + two column-pruned reads
+    (state/checkpoint.py). Use :func:`convert_points_corpus` for
     inputs where one activity's points span multiple rows.
     """
+    import json
+
     opt = autofix or af.AutoFixOptions()
+    level = "full" if validate else "parse"
 
     def conv(df: pd.DataFrame) -> pd.DataFrame:
-        ids, fmts, payloads, n_errs = [], [], [], []
+        ids, fmts, payloads, n_errs, diag_cells = [], [], [], [], []
         fmts_in = df["fmt"] if "fmt" in df.columns else [None] * len(df)
         for aid, data, f in zip(df["activity_id"], df["bytes"], fmts_in):
             try:
-                payload, dd = convert_one(data, to_fmt, str(aid), f, opt)
-                n_err = int((dd["severity"] == "error").sum()) if len(dd) else 0
+                payload, n_err, rows = _convert_core(
+                    data, to_fmt, str(aid), f, opt, diag_level=level
+                )
             except Exception:  # noqa: BLE001 — never-throw contract
-                payload, n_err = b"", 1
+                payload, n_err, rows = b"", 1, []
             ids.append(aid)
             fmts.append(to_fmt)
             payloads.append(payload)
             n_errs.append(n_err)
+            diag_cells.append(json.dumps(rows) if rows else "")
         return pd.DataFrame(
-            {"activity_id": ids, "fmt": fmts, "bytes": payloads, "n_errors": n_errs}
+            {
+                "activity_id": ids,
+                "fmt": fmts,
+                "bytes": payloads,
+                "n_errors": n_errs,
+                "diags": diag_cells,
+            }
         )
 
-    encoded = payloads_ds.map_batches(conv, batch_format="pandas", batch_size=None)
-    diags = payloads_ds.map_batches(
-        src_stage.parse_batch,
-        batch_format="pyarrow",
-        fn_kwargs={"output": "diagnostics"},
-        batch_size=None,
+    from .tune import coalesce_small
+
+    # ~3 ms/payload kernel: right-size blocks so each task amortizes
+    # launch overhead (no-op for big many-file corpora)
+    payloads_ds = coalesce_small(payloads_ds, target_rows_per_block=64)
+    combined = payloads_ds.map_batches(
+        conv, batch_format="pandas", batch_size=None
+    ).materialize()
+    encoded = combined.drop_columns(["diags"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        for cell in df["diags"]:
+            if cell:
+                rows.extend(tuple(r) for r in json.loads(cell))
+        return pd.DataFrame(rows, columns=vd.DIAG_COLUMNS)
+
+    diags = combined.select_columns(["diags"]).map_batches(
+        explode, batch_format="pandas", batch_size=None
     )
-    if validate:
-        def val_batch(df: pd.DataFrame) -> pd.DataFrame:
-            frames = []
-            fmts_in = df["fmt"] if "fmt" in df.columns else [None] * len(df)
-            for aid, data, f in zip(df["activity_id"], df["bytes"], fmts_in):
-                pts = src_stage.parse_payload(data, str(aid), f).points_df()
-                if len(pts):
-                    frames.append(vd.validate_points_group(pts))
-            if not frames:
-                return pd.DataFrame(columns=vd.DIAG_COLUMNS)
-            return pd.concat(frames, ignore_index=True)
-
-        val = payloads_ds.map_batches(
-            val_batch, batch_format="pandas", batch_size=None
-        )
-        diags = diags.union(val)
     return encoded, diags
 
 
@@ -111,17 +125,42 @@ def convert_one(
     analog, ``lib/src/convert/converter.dart:18-45``): parse →
     normalize(+autofix) → lossy projection → encode. Pure local —
     no Ray session required."""
+    payload, _n_err, rows = _convert_core(
+        data, to_fmt, activity_id, fmt, autofix or af.AutoFixOptions(), "full"
+    )
+    return payload, pd.DataFrame(rows, columns=vd.DIAG_COLUMNS)
+
+
+def _convert_core(
+    data: bytes,
+    to_fmt: str,
+    activity_id: str,
+    fmt: str | None,
+    opt: af.AutoFixOptions,
+    diag_level: str = "full",
+) -> tuple[bytes, int, list]:
+    """One payload through parse → autofix → (diagnose) → encode in a
+    SINGLE parse, returning ``(payload, n_errors, diag_tuples)``.
+
+    ``diag_level``: ``full`` = parse + lossiness + validation rows
+    (the reference's merged diagnostics stream, facade:244-255);
+    ``parse`` = parse diagnostics only (skips all validation work —
+    the fast corpus path when the caller doesn't want validation).
+    Diagnostics are TUPLES, not DataFrames: per-payload pandas
+    construction was ~50% of convert wall time (profiled)."""
     parsed = src_stage.parse_payload(data, activity_id, fmt)
     pts = parsed.points_df()
+    parse_rows = [(activity_id, s, c, m, p) for s, c, m, p in parsed.diags]
     if not len(pts) and any(d[0] == "error" for d in parsed.diags):
         # unparseable payload: no output document (the reference's
         # convert errors out rather than emitting an empty skeleton)
-        return b"", parsed.diags_df()
-    opt = autofix or af.AutoFixOptions()
+        return b"", sum(1 for r in parse_rows if r[1] == "error"), parse_rows
     fixed = af.autofix_group(pts, opt) if len(pts) else pts
-    diags = [parsed.diags_df()]
-    diags.append(
-        activity_ops.lossy_diagnostics(
+    rows = parse_rows
+    needs_spans = to_fmt in ("tcx", "fit")
+    spans = None
+    if diag_level == "full":
+        rows = rows + activity_ops.lossy_diag_rows(
             {
                 "n_laps": sum(1 for k in parsed.span_kind if k == "lap"),
                 "n_events": sum(1 for k in parsed.span_kind if k == "event"),
@@ -133,18 +172,17 @@ def convert_one(
             to_fmt,
             activity_id,
         )
-    )
-    diags.append(vd.validate_points_group(fixed) if len(fixed) else pd.DataFrame(
-        columns=vd.DIAG_COLUMNS + []
-    ))
+        if len(fixed):
+            rows = rows + vd.validate_points_rows(fixed)
     channels = parsed.channels_df()
-    spans = parsed.spans_df()
-    if len(fixed):
+    if needs_spans or (diag_level == "full" and parsed.span_kind):
+        spans = parsed.spans_df()
+    if diag_level == "full" and len(fixed):
         window = (int(fixed["ts_us"].min()), int(fixed["ts_us"].max()))
         if len(channels):
-            diags.append(vd.validate_channels_group(channels, window))
-        if len(spans):
-            diags.append(vd.validate_spans_group(spans, window))
+            rows = rows + vd.validate_channels_rows(channels, window)
+        if spans is not None and len(spans):
+            rows = rows + vd.validate_spans_rows(spans, window)
     extra: dict = {}
     if to_fmt == "tcx":
         extra = {"spans": spans, "sport": parsed.sport}
@@ -182,10 +220,8 @@ def convert_one(
     payload = src_stage.encode_activity(
         to_fmt, fixed, channels if len(channels) else None, **extra
     )
-    dd = pd.concat([d for d in diags if len(d)], ignore_index=True) if any(
-        len(d) for d in diags
-    ) else pd.DataFrame(columns=["activity_id", "severity", "code", "message", "path"])
-    return payload, dd
+    n_errors = sum(1 for r in rows if r[1] == "error")
+    return payload, n_errors, rows
 
 
 def load_batch(

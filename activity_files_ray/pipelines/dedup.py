@@ -216,20 +216,10 @@ def _auto_shuffle(ds, use_shuffle: bool | None) -> bool:
 
 
 def _coalesce_small(ds, target_rows_per_block: int = 512):
-    """Right-size blocks for the signature pass: Ray splits even a
-    small single-file read into ~2×CPU blocks, and at ~0.5 ms/doc the
-    per-task overhead then dominates (measured: 64 blocks → 2.0 s,
-    8 blocks → 0.9 s for the same 5 k-doc corpus). Coalesce ONLY
-    small corpora — at real corpus scale (> SHUFFLE_THRESHOLD_DOCS)
-    the input is many files, blocks are already fat, and a
-    repartition would be a pointless all-to-all."""
-    try:
-        n = ds.count()
-    except Exception:  # noqa: BLE001
-        return ds
-    if 0 < n <= SHUFFLE_THRESHOLD_DOCS:
-        return ds.repartition(int(max(1, min(64, n // target_rows_per_block))))
-    return ds
+    """Right-size blocks for the signature pass (see pipelines/tune.py)."""
+    from .tune import coalesce_small
+
+    return coalesce_small(ds, target_rows_per_block)
 
 
 def _pairs_via_shuffle(

@@ -147,9 +147,21 @@ _FORMAT_CAPS = {
 def lossy_diagnostics(
     stats: dict, target_fmt: str, activity_id: str = ""
 ) -> pd.DataFrame:
+    """DataFrame wrapper over :func:`lossy_diag_rows`."""
+    return pd.DataFrame(
+        lossy_diag_rows(stats, target_fmt, activity_id),
+        columns=["activity_id", "severity", "code", "message", "path"],
+    )
+
+
+def lossy_diag_rows(
+    stats: dict, target_fmt: str, activity_id: str = ""
+) -> list[tuple]:
     """Pure projection: activity content stats + target format →
-    ``lossy.*`` info diagnostics. ``stats`` keys: n_laps, n_events,
-    n_sessions, n_segments, n_waypoints, n_routes (missing = 0)."""
+    ``lossy.*`` info diagnostic tuples. ``stats`` keys: n_laps,
+    n_events, n_sessions, n_segments, n_waypoints, n_routes
+    (missing = 0). Tuple form so per-payload hot paths skip pandas
+    construction (the convert kernel's dominant cost)."""
     caps = _FORMAT_CAPS.get(target_fmt, set())
     rows = []
 
@@ -176,6 +188,4 @@ def lossy_diagnostics(
                 "segments",
             )
         )
-    return pd.DataFrame(
-        rows, columns=["activity_id", "severity", "code", "message", "path"]
-    )
+    return rows

@@ -48,7 +48,12 @@ NULL_ISLAND_EPS = 1e-6  # raw_editor.dart:101-105
 
 
 def sort_and_dedup(df: pd.DataFrame, ts_col: str = "ts_us") -> pd.DataFrame:
-    """M1: stable chronological sort, duplicate timestamp → last wins."""
+    """M1: stable chronological sort, duplicate timestamp → last wins.
+    Already-clean input (strictly increasing — the overwhelmingly
+    common case, facade:649-706 skip-work idiom) returns unchanged."""
+    ts = df[ts_col].to_numpy()
+    if len(ts) < 2 or bool((np.diff(ts) > 0).all()):
+        return df
     df = df.sort_values(ts_col, kind="mergesort")
     return df[~df[ts_col].duplicated(keep="last")].reset_index(drop=True)
 
@@ -62,6 +67,19 @@ def trim_invalid(df: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, int]]:
     in_range = (lat >= -90.0) & (lat <= 90.0) & (lon >= -180.0) & (lon <= 180.0)
     null_island = (np.abs(lat) < NULL_ISLAND_EPS) & (np.abs(lon) < NULL_ISLAND_EPS)
     keep = finite & in_range & ~null_island
+    if keep.all():
+        # clean fast path: no row drop → only elevation clearing may
+        # still need a copy below
+        ele_clean = True
+        if "ele" in df.columns:
+            ele_v = df["ele"].to_numpy(dtype=np.float64)
+            ele_clean = not (np.isfinite(ele_v) & (ele_v <= ELE_SENTINEL)).any()
+        if ele_clean:
+            stats = {
+                "dropped_nonfinite": 0, "dropped_out_of_range": 0,
+                "dropped_null_island": 0, "cleared_elevation": 0,
+            }
+            return df, stats
     out = df[keep].copy()
     n_ele = 0
     if "ele" in out.columns:

@@ -58,7 +58,13 @@ def _series_order_diags(
 
 
 def validate_points_group(df: pd.DataFrame) -> pd.DataFrame:
-    """V1 + V2 for one activity's trackpoints."""
+    """V1 + V2 for one activity's trackpoints (DataFrame wrapper)."""
+    return pd.DataFrame(validate_points_rows(df), columns=DIAG_COLUMNS)
+
+
+def validate_points_rows(df: pd.DataFrame) -> list:
+    """V1 + V2 as diagnostic tuples (hot-path form: the convert
+    kernel aggregates tuples per batch, one DataFrame per batch)."""
     rows: list = []
     aid = str(df["activity_id"].iloc[0]) if len(df) else ""
     ts = df["ts_us"].astype("int64").to_numpy()
@@ -79,12 +85,17 @@ def validate_points_group(df: pd.DataFrame) -> pd.DataFrame:
         if inf_ele.any():
             _diag(rows, aid, "error", "validation.coordinate.elevation",
                   f"{int(inf_ele.sum())} non-finite elevations", "points")
-    return pd.DataFrame(rows, columns=DIAG_COLUMNS)
+    return rows
 
 
 def validate_channels_group(df: pd.DataFrame, track_window: tuple[int, int] | None = None) -> pd.DataFrame:
+    """V1 (per channel) + V3 + V5 + V7 (DataFrame wrapper)."""
+    return pd.DataFrame(validate_channels_rows(df, track_window), columns=DIAG_COLUMNS)
+
+
+def validate_channels_rows(df: pd.DataFrame, track_window: tuple[int, int] | None = None) -> list:
     """V1 (per channel) + V3 + V5 + V7 for one activity's samples
-    (long form: channel, ts_us, value)."""
+    (long form: channel, ts_us, value) as diagnostic tuples."""
     rows: list = []
     aid = str(df["activity_id"].iloc[0]) if len(df) else ""
     for ch, g in df.groupby("channel", observed=True):
@@ -129,11 +140,16 @@ def validate_channels_group(df: pd.DataFrame, track_window: tuple[int, int] | No
             if after:
                 _diag(rows, aid, "warning", "validation.channel.samples_after_track",
                       f"{after} samples after track end", path)
-    return pd.DataFrame(rows, columns=DIAG_COLUMNS)
+    return rows
 
 
 def validate_spans_group(spans: pd.DataFrame, track_window: tuple[int, int] | None = None) -> pd.DataFrame:
-    """V4 lap-boundary checks for one activity's spans."""
+    """V4 lap-boundary checks (DataFrame wrapper)."""
+    return pd.DataFrame(validate_spans_rows(spans, track_window), columns=DIAG_COLUMNS)
+
+
+def validate_spans_rows(spans: pd.DataFrame, track_window: tuple[int, int] | None = None) -> list:
+    """V4 lap-boundary checks for one activity's spans as tuples."""
     rows: list = []
     aid = str(spans["activity_id"].iloc[0]) if len(spans) else ""
     laps = spans[spans["kind"] == "lap"] if "kind" in spans.columns else spans
@@ -159,7 +175,7 @@ def validate_spans_group(spans: pd.DataFrame, track_window: tuple[int, int] | No
         if (e > hi).any():
             _diag(rows, aid, "warning", "validation.laps.extends_after_points",
                   "lap ends after last point", "laps")
-    return pd.DataFrame(rows, columns=DIAG_COLUMNS)
+    return rows
 
 
 def validate_points(ds):
