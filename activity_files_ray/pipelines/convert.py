@@ -188,6 +188,11 @@ def _convert_core(
         extra = {"spans": spans, "sport": parsed.sport}
         if parsed.creator:
             extra["creator"] = parsed.creator
+        # tcxNotes / tcxAuthor survive TCX->TCX (models.dart:1273-1276)
+        if parsed.metadata.get("tcx_notes"):
+            extra["notes"] = parsed.metadata["tcx_notes"]
+        if parsed.metadata.get("tcx_author"):
+            extra["author"] = parsed.metadata["tcx_author"]
     elif to_fmt == "fit":
         extra = {"spans": spans, "sport": parsed.sport}
         mid = parsed.metadata.get("fit_manufacturer_id")

@@ -35,7 +35,8 @@ _ENCODERS = {
     "gpx": lambda p, c, **kw: gpx.encode_gpx(p, c, **kw),
     "tcx": lambda p, c, **kw: tcx.encode_tcx(
         p, c, **{k: v for k, v in kw.items()
-                 if k in ("spans", "sport", "creator", "tolerance_us")}
+                 if k in ("spans", "sport", "creator", "tolerance_us",
+                          "notes", "author")}
     ),
     "csv": lambda p, c, **kw: csv_fmt.encode_csv(p, c),
     "geojson": lambda p, c, **kw: geojson.encode_geojson(

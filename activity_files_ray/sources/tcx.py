@@ -37,6 +37,12 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+def _xml_escape(s: str) -> str:
+    from xml.sax.saxutils import escape
+
+    return escape(s)
+
+
 def parse_tcx(data: bytes, activity_id: str) -> ParsedActivity:
     out = ParsedActivity(activity_id)
     try:
@@ -55,6 +61,12 @@ def parse_tcx(data: bytes, activity_id: str) -> ParsedActivity:
             for c in acts:
                 if _local(c.tag) == "Name" and c.text:
                     out.creator = c.text
+        elif _local(acts.tag) == "Author" and "tcx_author" not in out.metadata:
+            # <Author> lives at the TrainingCenterDatabase root
+            # (tcx_parser.dart:87-91); first Name wins
+            for c in acts:
+                if _local(c.tag) == "Name" and c.text:
+                    out.metadata["tcx_author"] = c.text
     return out
 
 
@@ -71,6 +83,11 @@ def _parse_activity(act, out: ParsedActivity) -> None:
             for c in child:
                 if _local(c.tag) == "Name" and c.text:
                     out.creator = c.text
+        elif (
+            loc == "Notes" and child.text and "tcx_notes" not in out.metadata
+        ):
+            # first activity's Notes wins (tcx_parser.dart:112 `??=`)
+            out.metadata["tcx_notes"] = child.text
 
 
 def _parse_lap(lap, sport: str | None, out: ParsedActivity) -> None:
@@ -197,9 +214,14 @@ def encode_tcx(
     creator: str = "activity_files_ray",
     tolerance_us: int = DEFAULT_TOLERANCE_US,
     channel_tolerances_us: dict[str, int] | None = None,
+    notes: str | None = None,
+    author: str | None = None,
 ) -> bytes:
     """points/channels/laps → TCX bytes. Laps grouped into consecutive
-    same-sport Activities; synthetic whole-track lap when none."""
+    same-sport Activities; synthetic whole-track lap when none.
+    ``notes`` is emitted on the FIRST activity only and ``author`` as
+    the file-level <Author> after </Activities>
+    (tcx_encoder.dart:362-368,404-414 parity)."""
     ts = points["ts_us"].to_numpy(np.int64)
     lat = points["lat"].to_numpy(np.float64)
     lon = points["lon"].to_numpy(np.float64)
@@ -249,7 +271,7 @@ def encode_tcx(
         '<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">\n'
         "<Activities>\n"
     ]
-    for grp in groups:
+    for gi, grp in enumerate(groups):
         gsport = _SPORT_TO_TCX.get((grp[0][2] or sport or "other"), "Other")
         start_iso = us_to_iso(grp[0][0])
         parts.append(f'<Activity Sport="{gsport}"><Id>{start_iso}</Id>\n')
@@ -308,9 +330,18 @@ def encode_tcx(
                     parts.append("</TPX></Extensions>")
                 parts.append("</Trackpoint>\n")
             parts.append("</Track></Lap>\n")
+        if gi == 0 and notes and notes.strip():
+            parts.append(f"<Notes>{_xml_escape(notes.strip())}</Notes>")
         parts.append(
             f"<Creator xsi:type=\"Device_t\" xmlns:xsi=\"http://www.w3.org/2001/XMLSchema-instance\"><Name>{creator}</Name></Creator>"
             "</Activity>\n"
         )
-    parts.append("</Activities>\n</TrainingCenterDatabase>\n")
+    parts.append("</Activities>\n")
+    if author and author.strip():
+        parts.append(
+            '<Author xsi:type="Application_t" '
+            'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'
+            f"<Name>{_xml_escape(author.strip())}</Name></Author>\n"
+        )
+    parts.append("</TrainingCenterDatabase>\n")
     return "".join(parts).encode()

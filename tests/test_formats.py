@@ -973,3 +973,62 @@ class TestFitLossless:
         ch2 = parsed2.channels_df()
         got2 = ch2[ch2["channel"] == "fit_field_39"].sort_values("ts_us")["value"].tolist()
         assert got2 == [1010.0, 1020.0, 1030.0]
+
+
+class TestTcxNotesAuthor:
+    def test_notes_author_roundtrip(self):
+        # tcxNotes (first activity) + tcxAuthor (file-level) survive
+        # TCX->TCX (models.dart:1273-1276, tcx_parser.dart:87-91,112)
+        pts = canonical_points()
+        p1 = tcx.encode_tcx(
+            pts, None, sport="running",
+            notes="felt great & strong", author="MyApp <v2>",
+        )
+        parsed = tcx.parse_tcx(p1, "a1")
+        assert parsed.metadata["tcx_notes"] == "felt great & strong"
+        assert parsed.metadata["tcx_author"] == "MyApp <v2>"
+        from activity_files_ray.pipelines import convert as cv
+        p2, _d = cv.convert_one(p1, "tcx", "a1")
+        parsed2 = tcx.parse_tcx(p2, "a1")
+        assert parsed2.metadata["tcx_notes"] == "felt great & strong"
+        assert parsed2.metadata["tcx_author"] == "MyApp <v2>"
+
+    def test_first_activity_notes_win(self):
+        xml = b"""<?xml version="1.0"?>
+<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">
+<Activities>
+<Activity Sport="Running"><Id>2024-01-01T00:00:00Z</Id>
+<Lap StartTime="2024-01-01T00:00:00Z"><TotalTimeSeconds>60.0</TotalTimeSeconds></Lap>
+<Notes>first</Notes></Activity>
+<Activity Sport="Biking"><Id>2024-01-01T01:00:00Z</Id>
+<Lap StartTime="2024-01-01T01:00:00Z"><TotalTimeSeconds>60.0</TotalTimeSeconds></Lap>
+<Notes>second</Notes></Activity>
+</Activities>
+<Author xsi:type="Application_t" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"><Name>Tool</Name></Author>
+</TrainingCenterDatabase>"""
+        parsed = tcx.parse_tcx(xml, "a1")
+        assert parsed.metadata["tcx_notes"] == "first"
+        assert parsed.metadata["tcx_author"] == "Tool"
+
+
+class TestLanceDispatch:
+    """input_hint names a Lance table; the engine dispatches on path
+    suffix and import-gates pylance (absent in this sandbox)."""
+
+    def test_parquet_fallback(self, ray_session):
+        from activity_files_ray.sources import lance_io
+
+        ds = lance_io.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        )
+        assert ds.count() > 0
+        assert ds.schema().names == ["doc_id"]
+
+    def test_lance_path_gated(self):
+        from activity_files_ray.sources import lance_io
+
+        assert lance_io.is_lance_path("/data/images.lance")
+        assert not lance_io.is_lance_path("/data/images.parquet")
+        if not lance_io.lance_available():
+            with pytest.raises(ImportError, match="pylance"):
+                lance_io.read_table("/data/images.lance")
