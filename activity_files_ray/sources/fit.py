@@ -357,7 +357,10 @@ def _parse_data(
             out.span_sport.append(None)
             out.span_dist_m.append(None)
     elif g == GLOBAL_LENGTH:
-        # start_time(2) + total_elapsed_time(3, ms/1000)
+        # start_time(2) + total_elapsed_time(3, ms/1000); per-length
+        # swim stats: total_strokes(5), avg_speed(6, /1000),
+        # swim_stroke(7), length_type(12; 0 idle, 1 active) —
+        # SwimLength parity (fit_parser.dart:675-699)
         start = vals.get(2)
         if isinstance(start, int):
             elapsed = vals.get(3)
@@ -365,15 +368,26 @@ def _parse_data(
             e_us = s_us + (
                 int(elapsed / 1000.0 * 1e6) if isinstance(elapsed, (int, float)) else 0
             )
+            stats: dict = {}
+            _put(stats, "total_strokes", vals.get(5))
+            _put(stats, "avg_speed", vals.get(6), 1000.0)
+            _put(stats, "swim_stroke", vals.get(7))
+            lt = _num(vals.get(12))
+            if lt is not None:
+                stats["is_active"] = 1.0 if lt != 0 else 0.0
+            while len(out.span_stats) < len(out.span_kind):
+                out.span_stats.append({})
             out.span_kind.append("length")
             out.span_start_us.append(s_us)
             out.span_end_us.append(e_us)
             out.span_sport.append(None)
             out.span_dist_m.append(None)
+            out.span_stats.append(stats)
     elif g == GLOBAL_SET:
         # start_time(6) + duration(0, ms/1000); repetitions(3) u16,
-        # weight(4) u16 kg/16 (WorkoutSet reps/weightKg,
-        # models.dart:365-437)
+        # weight(4) u16 kg/16, set_type(5; 0 = rest), category(7)
+        # (WorkoutSet reps/weightKg/isRest/exerciseCategoryId,
+        # models.dart:365-437, fit_parser.dart:701-733)
         start = vals.get(6)
         if isinstance(start, int):
             dur = vals.get(0)
@@ -386,6 +400,10 @@ def _parse_data(
                 stats["reps"] = float(vals[3])
             if isinstance(vals.get(4), int):
                 stats["weight_kg"] = vals[4] / 16.0
+            st = _num(vals.get(5))
+            if st is not None:
+                stats["is_active"] = 1.0 if st != 0 else 0.0
+            _put(stats, "category", vals.get(7))
             while len(out.span_stats) < len(out.span_kind):
                 out.span_stats.append({})
             out.span_kind.append("set")
@@ -868,19 +886,27 @@ def encode_fit(
                 body += _pack_extras(r, ex_scalar, ex_arrays)
         lengths = spans[spans["kind"] == "length"] if "kind" in spans.columns else spans.iloc[0:0]
         if len(lengths):
-            # length def (local 7): start_time(2) u32, total_elapsed(3) u32 ms
-            body += bytes([0x47, 0, 0, 101, 0, 2, 2, 4, 0x86, 3, 4, 0x86])
+            # length def (local 7): start_time(2) u32, total_elapsed(3)
+            # u32 ms, total_strokes(5) u16, avg_speed(6) u16/1000,
+            # swim_stroke(7) enum, length_type(12) enum
+            body += bytes([0x47, 0, 0, 101, 0, 6, 2, 4, 0x86, 3, 4, 0x86,
+                           5, 2, 0x84, 6, 2, 0x84, 7, 1, 0x00, 12, 1, 0x00])
             for _, r in lengths.iterrows():
                 s_us, e_us = int(r["start_us"]), int(r["end_us"])
                 body += bytes([0x07])
                 body += struct.pack("<I", ((s_us - FIT_EPOCH_US) // 1_000_000) & 0xFFFFFFFF)
                 body += struct.pack("<I", ((e_us - s_us) // 1000) & 0xFFFFFFFF)
+                body += _pack_stat(r.get("total_strokes"), 2, 0x84)
+                body += _pack_stat(r.get("avg_speed"), 2, 0x84, 1000.0)
+                body += _pack_stat(r.get("swim_stroke"), 1, 0x00)
+                body += _pack_stat(r.get("is_active"), 1, 0x00)
         sets_df = spans[spans["kind"] == "set"] if "kind" in spans.columns else spans.iloc[0:0]
         if len(sets_df):
             # set def (local 8): start_time(6) u32, duration(0) u32 ms,
-            # repetitions(3) u16, weight(4) u16 (kg*16)
-            body += bytes([0x48, 0, 0, 225, 0, 4, 6, 4, 0x86, 0, 4, 0x86,
-                           3, 2, 0x84, 4, 2, 0x84])
+            # repetitions(3) u16, weight(4) u16 (kg*16),
+            # set_type(5) enum, category(7) u16
+            body += bytes([0x48, 0, 0, 225, 0, 6, 6, 4, 0x86, 0, 4, 0x86,
+                           3, 2, 0x84, 4, 2, 0x84, 5, 1, 0x00, 7, 2, 0x84])
             for _, r in sets_df.iterrows():
                 s_us, e_us = int(r["start_us"]), int(r["end_us"])
                 body += bytes([0x08])
@@ -898,6 +924,8 @@ def encode_fit(
 
                 body += struct.pack("<H", _u16(r.get("reps")))
                 body += struct.pack("<H", _u16(r.get("weight_kg"), 16.0))
+                body += _pack_stat(r.get("is_active"), 1, 0x00)
+                body += _pack_stat(r.get("category"), 2, 0x84)
         events = spans[spans["kind"] == "event"] if "kind" in spans.columns else spans.iloc[0:0]
         if len(events):
             # event def: timestamp(253) u32, event(0) enum, event_type(1) enum

@@ -28,6 +28,9 @@ SPAN_STAT_COLS = (
     "num_active_lengths", "swim_stroke",
     "timer_time_s", "pool_length_m", "avg_stroke_count",
     "sub_sport", "total_cycles",
+    # length/set kinds (SwimLength/WorkoutSet, models.dart:365-540):
+    # is_active = length_type!=0 / set_type!=0; category = exercise id
+    "total_strokes", "is_active", "category",
 )
 
 

@@ -1032,3 +1032,43 @@ class TestLanceDispatch:
         if not lance_io.lance_available():
             with pytest.raises(ImportError, match="pylance"):
                 lance_io.read_table("/data/images.lance")
+
+
+class TestFitLengthSetStats:
+    def test_length_and_set_stats_roundtrip(self):
+        # SwimLength strokes/speed/stroke-type/active + WorkoutSet
+        # set_type/category survive FIT->FIT (models.dart:365-540)
+        pts = canonical_points()
+        t0, t1 = int(pts["ts_us"].iloc[0]), int(pts["ts_us"].iloc[1])
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 2,
+                "kind": ["length", "set"],
+                "start_us": [t0, t0],
+                "end_us": [t1, t1],
+                "sport": [None, None],
+                "dist_m": [np.nan, np.nan],
+                "total_strokes": [18.0, np.nan],
+                "avg_speed": [1.251, np.nan],
+                "swim_stroke": [2.0, np.nan],
+                "is_active": [1.0, 0.0],
+                "reps": [np.nan, 12.0],
+                "weight_kg": [np.nan, 42.5],
+                "category": [np.nan, 7.0],
+            }
+        )
+        payload = fit_mod.encode_fit(pts, None, spans=spans)
+        parsed = fit_mod.parse_fit(payload, "a")
+        assert not [d for d in parsed.diags if d[0] == "error"]
+        sdf = parsed.spans_df().set_index("kind")
+        ln, st = sdf.loc["length"], sdf.loc["set"]
+        assert ln["total_strokes"] == 18.0
+        assert ln["avg_speed"] == pytest.approx(1.251, abs=0.001)
+        assert ln["swim_stroke"] == 2.0 and ln["is_active"] == 1.0
+        assert st["reps"] == 12.0 and st["weight_kg"] == 42.5
+        assert st["is_active"] == 0.0 and st["category"] == 7.0
+        p2 = fit_mod.encode_fit(
+            parsed.points_df(), parsed.channels_df(),
+            sport=parsed.sport, spans=parsed.spans_df(),
+        )
+        assert p2 == payload
