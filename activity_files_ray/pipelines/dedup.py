@@ -279,6 +279,97 @@ def _pairs_from_buckets(bucket_df: pd.DataFrame, max_bucket: int = 64) -> set[tu
     return pairs
 
 
+def cluster_pairs_distributed(
+    pairs: pd.DataFrame, max_iters: int = 30
+) -> pd.DataFrame:
+    """Connected components over verified pairs WITHOUT a driver-side
+    union-find: the alternating large-star / small-star plan (Kiveris
+    et al., "Connected Components in MapReduce and Beyond" — public
+    algorithm), each pass a ``groupby(node).map_groups`` shuffle, so
+    the edge set never has to fit in driver memory. Converges in
+    O(log n) rounds to a star forest rooted at each component's MIN
+    member — the same cluster ids the driver union-find produces
+    (``clusters == union-find`` is tested).
+
+    The default dedup paths keep the driver union-find (verified
+    pairs ≪ corpus by construction); use this when cluster graphs are
+    themselves corpus-scale (e.g. aggressive thresholds)."""
+    import ray.data as rd
+
+    if not len(pairs):
+        return pd.DataFrame(columns=["doc_id", "cluster_id"])
+
+    def _hash_sum(ds) -> tuple[int, int]:
+        """Order/duplication-insensitive fingerprint of the edge SET:
+        xor of row hashes + row count after a global pair dedup."""
+        from ray.data.aggregate import Count
+
+        uniq = ds.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+
+        def hb(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(
+                df[["a", "b"]], index=False
+            ).to_numpy(np.uint64)
+            acc = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+            return pd.DataFrame({"x": [int(acc)], "n": [len(h)]})
+
+        parts = uniq.map_batches(hb, batch_format="pandas", batch_size=None).to_pandas()
+        return (
+            int(np.bitwise_xor.reduce(parts["x"].to_numpy(np.uint64))) if len(parts) else 0,
+            int(parts["n"].sum()),
+        )
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": pd.concat([df["a"], df["b"]]), "v": pd.concat([df["b"], df["a"]])}
+        )
+
+    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].iloc[0]
+        nbrs = g["v"]
+        m = min(nbrs.min(), u)
+        bigger = nbrs[nbrs > u].unique()
+        return pd.DataFrame({"a": bigger, "b": m})
+
+    def to_max_min(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = df["a"], df["b"]
+        return pd.DataFrame({"u": np.maximum(a, b), "v": np.minimum(a, b)})
+
+    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].iloc[0]
+        nbrs = g["v"]
+        m = min(nbrs.min(), u)
+        members = sorted((set(nbrs.tolist()) | {u}) - {m})
+        return pd.DataFrame({"a": members, "b": m})
+
+    edges = rd.from_pandas(pairs[["a", "b"]].drop_duplicates())
+    prev = None
+    for _ in range(max_iters):
+        sym = edges.map_batches(symmetrize, batch_format="pandas", batch_size=None)
+        ls = sym.groupby("u").map_groups(large_star, batch_format="pandas")
+        ss = (
+            ls.map_batches(to_max_min, batch_format="pandas", batch_size=None)
+            .groupby("u")
+            .map_groups(small_star, batch_format="pandas")
+        )
+        ss = ss.materialize()
+        cur = _hash_sum(ss)
+        edges = ss
+        if cur == prev:
+            break
+        prev = cur
+    stars = edges.to_pandas().drop_duplicates()  # (member, root) — tiny: one row per clustered doc
+    roots = stars["b"].drop_duplicates()
+    out = pd.concat(
+        [
+            stars.rename(columns={"a": "doc_id", "b": "cluster_id"}),
+            pd.DataFrame({"doc_id": roots, "cluster_id": roots}),
+        ],
+        ignore_index=True,
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def minhash_dedup(
     ds,
     text_col: str = "text",

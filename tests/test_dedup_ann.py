@@ -236,3 +236,34 @@ class TestShufflePathParity:
         pd.testing.assert_frame_equal(
             c1.reset_index(drop=True), c2.reset_index(drop=True)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedConnectedComponents:
+    def test_matches_union_find(self):
+        rng = np.random.default_rng(11)
+        # several chains/cliques + singletor edges, ids shuffled
+        edges = []
+        base = 0
+        for size in (2, 3, 5, 8, 4):
+            ids = base + rng.permutation(size)
+            for i in range(size - 1):
+                edges.append((int(ids[i]), int(ids[i + 1])))
+            base += 100
+        pairs = pd.DataFrame(edges, columns=["a", "b"])
+        dist = dedup.cluster_pairs_distributed(pairs)
+        uf = dedup._UnionFind()
+        for a, b in edges:
+            uf.union(a, b)
+        members = sorted({d for e in edges for d in e})
+        want = pd.DataFrame(
+            {"doc_id": members, "cluster_id": [uf.find(d) for d in members]}
+        )
+        pd.testing.assert_frame_equal(
+            dist.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_empty(self):
+        out = dedup.cluster_pairs_distributed(pd.DataFrame(columns=["a", "b"]))
+        assert list(out.columns) == ["doc_id", "cluster_id"] and len(out) == 0
