@@ -78,6 +78,90 @@ def ivf_build(
     return kmeans_fit(sample, n_clusters, seed=seed)
 
 
+def ivf_write(
+    ds,
+    centroids: np.ndarray,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[int]:
+    """The IVF assignment pass as a WRITE: one hive partition per
+    coarse cluster (``cluster=<c>/``) plus ``centroids.npy`` — the
+    cluster-partitioned layout SCALE.md §6 describes, so a probe
+    READS only ``nprobe``/``n_clusters`` of the corpus from storage
+    instead of scanning everything and filtering (IO prune, not just
+    compute prune). Streaming: one pass, partitioned parquet out.
+    Returns the list of non-empty cluster ids."""
+    import os
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        emb = _as_matrix(df[vec_col])
+        norm = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-30)
+        out = df[[id_col, vec_col]].copy()
+        out["cluster"] = np.argmax(norm @ centroids.T, axis=1).astype(np.int64)
+        return out
+
+    assigned = ds.map_batches(assign, batch_format="pandas", batch_size=None)
+    assigned.write_parquet(index_dir, partition_cols=["cluster"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(index_dir)
+        if d.startswith("cluster=")
+    )
+
+
+def ivf_read_topk(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Probe a cluster-partitioned IVF index: read ONLY the
+    ``nprobe`` nearest clusters' partitions, then exact cosine top-k
+    over that subset. Same candidate set as :func:`ivf_topk` on the
+    same centroids → identical results (tested), with
+    nprobe/n_clusters of the read IO."""
+    import os
+
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) + 1e-30)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    paths = []
+    for c in probe:
+        d = os.path.join(index_dir, f"cluster={c}")
+        if os.path.isdir(d):
+            # expand to files: read_parquet takes a LIST of files, a
+            # single dir, but not a list of dirs
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return pd.DataFrame({id_col: [], "cos": []})
+    sub = rd.read_parquet(paths, columns=[id_col, vec_col])
+
+    def batch_topk(df: pd.DataFrame) -> pd.DataFrame:
+        emb = _as_matrix(df[vec_col])
+        norm = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-30)
+        cos = norm @ qn
+        kk = min(k, len(cos))
+        top = np.argpartition(-cos, kk - 1)[:kk]
+        return pd.DataFrame({id_col: df[id_col].to_numpy()[top], "cos": cos[top]})
+
+    parts = sub.map_batches(batch_topk, batch_format="pandas", batch_size=None).to_pandas()
+    return (
+        parts.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def ivf_topk(
     ds,
     centroids: np.ndarray,

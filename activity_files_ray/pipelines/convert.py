@@ -174,6 +174,22 @@ def _convert_core(
         )
         if len(fixed):
             rows = rows + vd.validate_points_rows(fixed)
+        # V6: device metadata checks when the payload carried any
+        dev = {
+            "manufacturer": parsed.metadata.get("manufacturer"),
+            "model": parsed.metadata.get("model"),
+        }
+        for key in ("fit_manufacturer_id", "fit_product_id"):
+            raw = parsed.metadata.get(key)
+            try:
+                dev[key] = int(raw)
+            except (TypeError, ValueError):
+                dev[key] = None
+        if any(v is not None for v in dev.values()):
+            rows = rows + [
+                tuple(r)
+                for r in vd.validate_device(dev, activity_id).itertuples(index=False)
+            ]
     channels = parsed.channels_df()
     if needs_spans or (diag_level == "full" and parsed.span_kind):
         spans = parsed.spans_df()
@@ -206,6 +222,14 @@ def _convert_core(
             rid = fit_profile.manufacturer_id(parsed.metadata.get("manufacturer"))
             if rid is not None:
                 extra["manufacturer_id"] = rid
+        device = {
+            k: parsed.metadata[k]
+            for k in ("fit_manufacturer_id", "fit_serial_number",
+                      "fit_product_id", "software_version", "model")
+            if parsed.metadata.get(k)
+        }
+        if device:
+            extra["device"] = device
     elif to_fmt == "geojson":
         meta = dict(parsed.metadata)
         if parsed.sport:

@@ -966,6 +966,25 @@ def q_ann_ivf_topk(sf_dir: str):
     return ann.ivf_topk(ds, cents, _embedding_query_vector(sf_dir), k=10, nprobe=4)
 
 
+def q_ann_ivf_partitioned(sf_dir: str):
+    """Cluster-partitioned IVF (the SCALE.md §6 layout): assignment
+    pass WRITES hive-partitioned parquet (cluster=<c>/), then the
+    probe READS only the nprobe nearest clusters' partitions — IO
+    prune, not just compute prune. Rows-only; read-probe ==
+    in-memory-probe equality is pytest-verified."""
+    import os
+    import shutil
+
+    from . import ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ann.ivf_build(ds, n_clusters=16)
+    idx = f"/tmp/afr_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(idx, ignore_errors=True)
+    ann.ivf_write(ds, cents, idx)
+    return ann.ivf_read_topk(idx, _embedding_query_vector(sf_dir), k=10, nprobe=4)
+
+
 def q_doc_quality(sf_dir: str):
     """Per-quality-bucket document counts (heuristic scoring;
     rows-only)."""
@@ -1549,6 +1568,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_dupes": (q_simhash_dupes, None),
     "embed_near_dup": (q_embed_near_dup, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_ivf_partitioned": (q_ann_ivf_partitioned, None),
     "doc_quality": (q_doc_quality, None),
     "doc_fingerprint64": (q_doc_fingerprint64, None),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),

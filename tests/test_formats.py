@@ -1072,3 +1072,53 @@ class TestFitLengthSetStats:
             sport=parsed.sport, spans=parsed.spans_df(),
         )
         assert p2 == payload
+
+
+class TestFitDeviceInfo:
+    def test_device_info_roundtrip(self):
+        pts = canonical_points()
+        dev = {"fit_manufacturer_id": "1", "fit_serial_number": "987654",
+               "fit_product_id": "4440", "software_version": "9.75",
+               "model": "Forerunner 965"}
+        payload = fit_mod.encode_fit(pts, None, manufacturer_id=1, device=dev)
+        parsed = fit_mod.parse_fit(payload, "a")
+        assert not [d for d in parsed.diags if d[0] == "error"]
+        m = parsed.metadata
+        assert m["manufacturer"] == "Garmin"
+        assert m["fit_serial_number"] == "987654"
+        assert m["fit_product_id"] == "4440"
+        assert m["software_version"] == "9.75"
+        assert m["model"] == "Forerunner 965"
+        # survives convert (FIT -> FIT)
+        from activity_files_ray.pipelines import convert as cv
+        p2, _d = cv.convert_one(payload, "fit", "a")
+        m2 = fit_mod.parse_fit(p2, "a").metadata
+        assert m2["software_version"] == "9.75" and m2["model"] == "Forerunner 965"
+
+    def test_sensor_device_info_does_not_overwrite(self):
+        import struct
+        body = bytearray()
+        # head unit then a paired sensor (device_index 1)
+        body += bytes([0x40, 0, 0, 23, 0, 3, 0, 1, 0x02, 2, 2, 0x84, 5, 2, 0x84])
+        body += bytes([0x00, 0]) + struct.pack("<H", 1) + struct.pack("<H", 975)
+        body += bytes([0x00, 1]) + struct.pack("<H", 32) + struct.pack("<H", 570)
+        parsed = fit_mod.parse_fit(TestFitLossless._fit_file(bytes(body)), "a")
+        assert parsed.metadata["manufacturer"] == "Garmin"
+        assert parsed.metadata["software_version"] == "9.75"
+
+    def test_file_creator_overwrites_version(self):
+        import struct
+        body = bytearray()
+        body += bytes([0x40, 0, 0, 23, 0, 2, 0, 1, 0x02, 5, 2, 0x84])
+        body += bytes([0x00, 0]) + struct.pack("<H", 975)
+        body += bytes([0x41, 0, 0, 49, 0, 1, 0, 2, 0x84])
+        body += bytes([0x01]) + struct.pack("<H", 2100)
+        parsed = fit_mod.parse_fit(TestFitLossless._fit_file(bytes(body)), "a")
+        assert parsed.metadata["software_version"] == "21"
+
+    def test_version_formatting(self):
+        assert fit_mod._format_sw_version(975) == "9.75"
+        assert fit_mod._format_sw_version(570) == "5.7"
+        assert fit_mod._format_sw_version(2100) == "21"
+        assert fit_mod._format_sw_version(0) is None
+        assert fit_mod._format_sw_version(None) is None
