@@ -345,8 +345,13 @@ def _parse_data(
     elif g == GLOBAL_SESSION:
         _emit_span(vals, "session", out)
         sp = vals.get(5)
-        if isinstance(sp, int):
-            out.sport = _SPORT_ENUM.get(sp, out.sport)
+        # multi-session files (triathlons): the FIRST session's sport
+        # becomes the activity sport; later sessions keep their own
+        # per-span sport (fit_parser.dart:603-617 primarySessionSeen).
+        # Unmapped FIT sport ids decode as 'other' (fit_sport.dart:24).
+        if isinstance(sp, int) and csd is not None and not csd.get("primary_session"):
+            csd["primary_session"] = True
+            out.sport = _SPORT_ENUM.get(sp, "other")
     elif g == GLOBAL_LAP:
         _emit_span(vals, "lap", out)
     elif g == GLOBAL_EVENT:

@@ -1122,3 +1122,38 @@ class TestFitDeviceInfo:
         assert fit_mod._format_sw_version(2100) == "21"
         assert fit_mod._format_sw_version(0) is None
         assert fit_mod._format_sw_version(None) is None
+
+
+class TestFitMultiSessionSport:
+    def test_first_session_sport_wins(self):
+        # triathlon-style file: swim, bike, run sessions — activity
+        # sport is the FIRST session's (fit_parser.dart:603-617);
+        # each span still keeps its own sport
+        pts = canonical_points()
+        t = pts["ts_us"].astype("int64").tolist()
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 3,
+                "kind": ["session"] * 3,
+                "start_us": [t[0], t[1], t[2]],
+                "end_us": [t[1], t[2], t[2] + 1_000_000],
+                "sport": ["swimming", "cycling", "running"],
+                "dist_m": [np.nan] * 3,
+            }
+        )
+        payload = fit_mod.encode_fit(pts, None, spans=spans)
+        parsed = fit_mod.parse_fit(payload, "a")
+        assert parsed.sport == "swimming"
+        sdf = parsed.spans_df()
+        assert sdf[sdf["kind"] == "session"]["sport"].tolist() == [
+            "swimming", "cycling", "running"
+        ]
+
+    def test_unmapped_sport_is_other(self):
+        import struct
+        body = bytearray()
+        # session with sport 13 (not in the supported subset)
+        body += bytes([0x40, 0, 0, 18, 0, 3, 2, 4, 0x86, 7, 4, 0x86, 5, 1, 0x00])
+        body += bytes([0x00]) + struct.pack("<I", 1_000_000_000) + struct.pack("<I", 60_000) + bytes([13])
+        parsed = fit_mod.parse_fit(TestFitLossless._fit_file(bytes(body)), "a")
+        assert parsed.sport == "other"

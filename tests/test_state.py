@@ -138,3 +138,48 @@ class TestSpatialTilingJob:
         # resume: nothing reruns
         rc2 = job.main(["--images", str(imgs), "--out", out, "--partitions", "2"])
         assert rc2 == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvertCorpusJob:
+    def test_job_runs_and_resumes(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "/root/repo/jobs")
+        import pyarrow as pa
+        import pyarrow.parquet as pqt
+
+        from activity_files_ray import fixtures
+        from activity_files_ray.sources import gpx, stage
+        import convert_corpus_job as job
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        payload = gpx.encode_gpx(pts, None)
+        pdir = tmp_path / "payloads"
+        pdir.mkdir()
+        for f in range(2):
+            pqt.write_table(
+                pa.table(
+                    {
+                        "activity_id": [f"a{f}_{i}" for i in range(5)],
+                        "bytes": pa.array([payload] * 5, pa.binary()),
+                    }
+                ),
+                str(pdir / f"p-{f}.parquet"),
+            )
+        out = str(tmp_path / "out")
+        rc = job.main(["--payloads", str(pdir), "--out", out,
+                       "--to", "geojson", "--partitions", "2"])
+        assert rc == 0
+        enc = pqt.read_table(os.path.join(out, "part=00000", "encoded.parquet"))
+        assert enc.num_rows == 5
+        for b in enc["bytes"].to_pylist():
+            assert stage.parse_payload(b, "x", "geojson").ts_us
+        man = json.load(open(os.path.join(out, "_MANIFEST", "00000.json")))
+        assert man["rows_in"] == 5 and man["n_errors"] == 0
+        assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+        # resume skips everything
+        rc2 = job.main(["--payloads", str(pdir), "--out", out,
+                       "--to", "geojson", "--partitions", "2"])
+        assert rc2 == 0
