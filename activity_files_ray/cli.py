@@ -25,6 +25,20 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--from", dest="from_fmt", default=None)
     v = sub.add_parser("validate", help="validate activity payload(s)")
     v.add_argument("input")
+    e = sub.add_parser(
+        "export", help="parse a payload to whole-activity JSON "
+        "(export_serialization analog)"
+    )
+    e.add_argument("input")
+    e.add_argument("-o", "--output", required=True)
+    e.add_argument("--from", dest="from_fmt", default=None)
+    i = sub.add_parser(
+        "import", help="encode a whole-activity JSON back to a format"
+    )
+    i.add_argument("input")
+    i.add_argument("-o", "--output", required=True)
+    i.add_argument("-t", "--to", required=True,
+                   choices=["gpx", "tcx", "csv", "geojson", "fit"])
     args = ap.parse_args(argv)
 
     if not os.path.exists(args.input):
@@ -33,7 +47,50 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "convert":
         return _convert(args)
+    if args.cmd == "export":
+        return _export(args)
+    if args.cmd == "import":
+        return _import(args)
     return _validate(args)
+
+
+def _export(args) -> int:
+    from .sources import model_json
+    from .sources import stage as src_stage
+
+    data = open(args.input, "rb").read()
+    parsed = src_stage.parse_payload(
+        data, os.path.basename(args.input), args.from_fmt
+    )
+    if not parsed.ts_us and any(d[0] == "error" for d in parsed.diags):
+        for d in parsed.diags:
+            print(f"[{d[0]}] {d[1]}: {d[2]}", file=sys.stderr)
+        return 65
+    with open(args.output, "w") as f:
+        f.write(model_json.dumps(parsed))
+    print(f"wrote {args.output}")
+    return 0
+
+
+def _import(args) -> int:
+    from .sources import model_json
+    from .sources import stage as src_stage
+
+    parsed = model_json.loads(open(args.input).read())
+    extra: dict = {"sport": parsed.sport, "spans": parsed.spans_df()}
+    if parsed.creator:
+        extra["creator"] = parsed.creator
+    if args.to == "gpx":
+        extra = {"name": parsed.name, "waypoints": parsed.waypoints,
+                 "routes": parsed.routes}
+    payload = src_stage.encode_activity(
+        args.to, parsed.points_df(),
+        parsed.channels_df() if parsed.ch_name else None, **extra
+    )
+    with open(args.output, "wb") as f:
+        f.write(payload)
+    print(f"wrote {args.output} ({len(payload)} bytes)")
+    return 0
 
 
 def _convert(args) -> int:

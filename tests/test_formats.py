@@ -1157,3 +1157,51 @@ class TestFitMultiSessionSport:
         body += bytes([0x00]) + struct.pack("<I", 1_000_000_000) + struct.pack("<I", 60_000) + bytes([13])
         parsed = fit_mod.parse_fit(TestFitLossless._fit_file(bytes(body)), "a")
         assert parsed.sport == "other"
+
+
+class TestActivityJsonSerialization:
+    """export_serialization.dart analog: whole-activity JSON
+    round-trip (isolate-transport surface) is lossless."""
+
+    def test_roundtrip_from_fit(self):
+        from activity_files_ray.sources import model_json
+
+        pts = canonical_points()
+        t0, t2 = int(pts["ts_us"].iloc[0]), int(pts["ts_us"].iloc[2])
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["a"], "kind": ["lap"],
+                "start_us": [t0], "end_us": [t2],
+                "sport": ["running"], "dist_m": [1500.0],
+                "avg_hr": [140.0],
+                "extra_fields": ['{"22":480}'], "extra_arrays": [None],
+            }
+        )
+        payload = fit_mod.encode_fit(
+            pts, canonical_channels(), sport="running", spans=spans,
+            manufacturer_id=1,
+            device={"software_version": "9.75", "model": "FR"},
+        )
+        parsed = fit_mod.parse_fit(payload, "a1")
+        rt = model_json.loads(model_json.dumps(parsed))
+        pd.testing.assert_frame_equal(parsed.points_df(), rt.points_df())
+        pd.testing.assert_frame_equal(parsed.channels_df(), rt.channels_df())
+        pd.testing.assert_frame_equal(parsed.spans_df(), rt.spans_df())
+        pd.testing.assert_frame_equal(parsed.diags_df(), rt.diags_df())
+        assert rt.sport == parsed.sport and rt.metadata == parsed.metadata
+        # double round-trip is string-stable
+        assert model_json.dumps(rt) == model_json.dumps(parsed)
+
+    def test_roundtrip_gpx_waypoints_routes(self):
+        from activity_files_ray.sources import model_json
+
+        pts = canonical_points()
+        wps = [{"lat": 40.1, "lon": -105.2, "ele": 1700.0, "name": "summit"}]
+        routes = [{"name": "r1", "points": [{"lat": 40.0, "lon": -105.0}]}]
+        payload = gpx.encode_gpx(pts, None, waypoints=wps, routes=routes, name="x")
+        parsed = gpx.parse_gpx(payload, "a1")
+        rt = model_json.loads(model_json.dumps(parsed))
+        assert rt.waypoints == parsed.waypoints
+        assert rt.routes == parsed.routes
+        assert rt.name == parsed.name
+        assert rt.segment_starts == parsed.segment_starts

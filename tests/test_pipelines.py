@@ -304,3 +304,20 @@ class TestLoadBatch:
             [("bad", b"junk"), ("never", b"x")], stop_on_error=True
         )
         assert len(res) == 1 and res[0][0] == "bad"
+
+
+class TestCliExportImport:
+    def test_export_import_roundtrip(self, tmp_path):
+        from activity_files_ray import cli, fixtures
+        from activity_files_ray.sources import gpx, stage
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        src = tmp_path / "a.gpx"
+        src.write_bytes(gpx.encode_gpx(pts, None, name="ride"))
+        js = tmp_path / "a.json"
+        assert cli.main(["export", str(src), "-o", str(js)]) == 0
+        out = tmp_path / "a2.gpx"
+        assert cli.main(["import", str(js), "-o", str(out), "-t", "gpx"]) == 0
+        reparsed = stage.parse_payload(out.read_bytes(), "x", "gpx")
+        assert len(reparsed.ts_us) == 3 and reparsed.name == "ride"
