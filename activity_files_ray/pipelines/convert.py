@@ -246,6 +246,18 @@ def _convert_core(
         }
         if parsed.creator:
             extra["creator"] = parsed.creator
+        # file- and track-level foreign extension trees survive
+        # GPX->GPX (gpxMetadataExtensions / trackExtensions analog)
+        import json as _json
+
+        for meta_key, kwarg in (("gpx_meta_ext", "meta_ext"),
+                                ("gpx_trk_ext", "trk_ext")):
+            raw = parsed.metadata.get(meta_key)
+            if raw:
+                try:
+                    extra[kwarg] = _json.loads(raw)
+                except ValueError:
+                    pass
     payload = src_stage.encode_activity(
         to_fmt, fixed, channels if len(channels) else None, **extra
     )

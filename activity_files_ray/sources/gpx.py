@@ -66,6 +66,8 @@ def parse_gpx(data: bytes, activity_id: str) -> ParsedActivity:
         out.diag("error", "gpx.parse.not_gpx", f"root element {root.tag}", "")
         return out
     out.creator = root.get("creator")
+    meta_trees: list = []
+    trk_trees: list = []
     for child in root:
         loc = _local(child.tag)
         if loc == "metadata":
@@ -74,6 +76,13 @@ def parse_gpx(data: bytes, activity_id: str) -> ParsedActivity:
                     out.name = m.text
                 elif _local(m.tag) == "time" and m.text:
                     out.metadata["time"] = m.text
+                elif _local(m.tag) == "extensions":
+                    # file-level foreign extensions survive losslessly
+                    # (gpxMetadataExtensions, gpx_parser.dart:101-116)
+                    meta_trees.extend(_node_to_tree(c) for c in m)
+        elif loc == "extensions":
+            # top-level <gpx><extensions> also belongs to the file
+            meta_trees.extend(_node_to_tree(c) for c in child)
         elif loc == "wpt":
             out.n_waypoints += 1
             wp = _parse_simple_point(child)
@@ -83,7 +92,15 @@ def parse_gpx(data: bytes, activity_id: str) -> ParsedActivity:
             out.n_routes += 1
             out.routes.append(_parse_rte(child))
         elif loc == "trk":
-            _parse_trk(child, out)
+            _parse_trk(child, out, trk_trees)
+    if meta_trees:
+        import json as _json
+
+        out.metadata["gpx_meta_ext"] = _json.dumps(meta_trees)
+    if trk_trees:
+        import json as _json
+
+        out.metadata["gpx_trk_ext"] = _json.dumps(trk_trees)
     if out.sport is None and out.name:
         for w in re.findall(r"\w+", out.name.lower()):
             if w in _SPORT_WORDS:
@@ -121,13 +138,16 @@ def _add_segment_pseudo_laps(out: ParsedActivity) -> None:
         out.span_stats.append({})
 
 
-def _parse_trk(trk, out: ParsedActivity) -> None:
+def _parse_trk(trk, out: ParsedActivity, trk_trees: list | None = None) -> None:
     for child in trk:
         loc = _local(child.tag)
         if loc == "name" and child.text and out.name is None:
             out.name = child.text
         elif loc == "type" and child.text:
             out.sport = _SPORT_WORDS.get(child.text.strip().lower(), out.sport)
+        elif loc == "extensions" and trk_trees is not None:
+            # track-level foreign extensions (trackExtensions analog)
+            trk_trees.extend(_node_to_tree(c) for c in child)
         elif loc == "trkseg":
             seg_start = len(out.ts_us)
             n_before = len(out.ts_us)
@@ -321,6 +341,8 @@ def encode_gpx(
     routes: list | None = None,
     version: str = "1.1",
     channel_tolerances_us: dict[str, int] | None = None,
+    meta_ext: list | None = None,
+    trk_ext: list | None = None,
 ) -> bytes:
     """points (sorted by ts_us) + long-form channels → GPX 1.1 bytes.
 
@@ -349,6 +371,12 @@ def encode_gpx(
         f'<gpx version="{version}" creator="{_esc(creator)}" xmlns="{ns}" '
         f'xmlns:gpxtpx="{TPX_NS}">\n'
     ]
+    if meta_ext:
+        parts.append(
+            "<metadata><extensions>"
+            + "".join(_tree_to_xml(t) for t in meta_ext)
+            + "</extensions></metadata>\n"
+        )
     wpt_parts = []
     for wp in waypoints or []:
         wpt_parts.append(f'<wpt lat="{wp["lat"]:.7f}" lon="{wp["lon"]:.7f}">')
@@ -373,6 +401,12 @@ def encode_gpx(
     parts.append("<trk>\n")
     if name:
         parts.append(f"<name>{_esc(name)}</name>\n")
+    if trk_ext:
+        parts.append(
+            "<extensions>"
+            + "".join(_tree_to_xml(t) for t in trk_ext)
+            + "</extensions>\n"
+        )
     bounds = segs + [ts.size]
     for si in range(len(segs)):
         parts.append("<trkseg>\n")

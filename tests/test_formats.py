@@ -1205,3 +1205,27 @@ class TestActivityJsonSerialization:
         assert rt.routes == parsed.routes
         assert rt.name == parsed.name
         assert rt.segment_starts == parsed.segment_starts
+
+
+class TestGpxMetadataTrackExtensions:
+    def test_lossless_roundtrip(self):
+        xml = b"""<?xml version="1.0" encoding="UTF-8"?>
+<gpx version="1.1" creator="t" xmlns="http://www.topografix.com/GPX/1/1">
+<metadata><extensions><vendor:color xmlns:vendor="urn:v" code="red">crimson</vendor:color></extensions></metadata>
+<trk><name>n</name>
+<extensions><vendor:effort xmlns:vendor="urn:v">7</vendor:effort></extensions>
+<trkseg><trkpt lat="40.0" lon="-105.0"><time>2024-01-01T00:00:00Z</time></trkpt></trkseg>
+</trk></gpx>"""
+        import json
+        parsed = gpx.parse_gpx(xml, "a1")
+        meta = json.loads(parsed.metadata["gpx_meta_ext"])
+        assert meta[0]["tag"] == "color" and meta[0]["text"] == "crimson"
+        assert meta[0]["attrs"]["code"] == "red"
+        trk = json.loads(parsed.metadata["gpx_trk_ext"])
+        assert trk[0]["tag"] == "effort" and trk[0]["text"] == "7"
+        # survives GPX->GPX convert
+        from activity_files_ray.pipelines import convert as cv
+        p2, _d = cv.convert_one(xml, "gpx", "a1")
+        parsed2 = gpx.parse_gpx(p2, "a1")
+        assert json.loads(parsed2.metadata["gpx_meta_ext"])[0]["text"] == "crimson"
+        assert json.loads(parsed2.metadata["gpx_trk_ext"])[0]["text"] == "7"
