@@ -986,8 +986,11 @@ def q_ann_ivf_partitioned(sf_dir: str):
 
 
 def q_doc_quality(sf_dir: str):
-    """Per-quality-bucket document counts (heuristic scoring;
-    rows-only)."""
+    """Per-quality-bucket document counts. Oracled: the composite
+    score is four 0.25·clip(x/c, 0, 1) terms summed left-to-right —
+    the SQL mirror (generated below from the same stopword list)
+    performs the identical IEEE double ops, so floor(score·10)
+    buckets match exactly."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -999,6 +1002,51 @@ def q_doc_quality(sf_dir: str):
     return agg.tree_aggregate(
         ds.map_batches(prep, batch_format="pandas", batch_size=None), ["bucket"], {"n_docs": ("", "count")}
     )
+
+
+def _sql_doc_quality() -> str:
+    stops = ", ".join(f"'{w}'" for w in sorted(text._STOP_EN))
+    clip = "LEAST(GREATEST({x}, 0.0), 1.0)"
+    alpha_term = clip.format(x="(alpha_ratio / 0.6)")
+    stop_term = clip.format(x="(stop_ratio / 0.2)")
+    mtl_term = clip.format(x="(mean_tok_len / 4.0)")
+    score = (
+        "LEAST(GREATEST("
+        "0.25 * (CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END)"
+        f" + 0.25 * {alpha_term}"
+        f" + 0.25 * {stop_term}"
+        f" + 0.25 * {mtl_term}"
+        ", 0.0), 1.0)"
+    )
+    return f"""
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+  SELECT CAST(FLOOR({score} * 10.0) AS BIGINT) AS bucket FROM (
+    SELECT
+      CASE WHEN n_chars > 0
+           THEN CAST(alpha AS DOUBLE) / GREATEST(n_chars, 1) ELSE 0.0 END
+        AS alpha_ratio,
+      CASE WHEN n_tokens > 0
+           THEN CAST(stop_hits AS DOUBLE) / GREATEST(n_tokens, 1) ELSE 0.0 END
+        AS stop_ratio,
+      CASE WHEN n_tokens > 0
+           THEN CAST(n_chars - GREATEST(n_tokens - 1, 0) AS DOUBLE)
+                / GREATEST(n_tokens, 1)
+           ELSE 0.0 END AS mean_tok_len,
+      n_tokens
+    FROM (
+      SELECT length(COALESCE(text, '')) AS n_chars,
+        len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS n_tokens,
+        len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]')) AS alpha,
+        len(list_filter(regexp_extract_all(COALESCE(text, ''), '\\S+'),
+            t -> lower(t) IN ({stops}))) AS stop_hits
+      FROM documents
+    )
+  )
+) GROUP BY bucket
+"""
+
+
+SQL_DOC_QUALITY = _sql_doc_quality()
 
 
 def q_doc_fingerprint64(sf_dir: str):
@@ -1569,7 +1617,7 @@ QUERIES: dict[str, tuple] = {
     "embed_near_dup": (q_embed_near_dup, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "ann_ivf_partitioned": (q_ann_ivf_partitioned, None),
-    "doc_quality": (q_doc_quality, None),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_fingerprint64": (q_doc_fingerprint64, None),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
     "smooth_value": (q_smooth_value, SQL_SMOOTH_VALUE),
