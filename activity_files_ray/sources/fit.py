@@ -168,6 +168,11 @@ def parse_fit(
     if hdr_size not in (12, 14) or data[8:12] != b".FIT":
         out.diag("error", "fit.header.invalid", "not a FIT header", "")
         return out
+    if len(data) < hdr_size:
+        # 12-byte buffer claiming a 14-byte header (fuzz-found)
+        out.diag("error", "fit.header.too_short",
+                 f"{len(data)} bytes < header size {hdr_size}", "")
+        return out
     data_size = struct.unpack_from("<I", data, 4)[0]
     sev = "error" if integrity == "strict" else "warning"
     if hdr_size == 14 and integrity != "silent":

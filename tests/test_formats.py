@@ -1229,3 +1229,13 @@ class TestGpxMetadataTrackExtensions:
         parsed2 = gpx.parse_gpx(p2, "a1")
         assert json.loads(parsed2.metadata["gpx_meta_ext"])[0]["text"] == "crimson"
         assert json.loads(parsed2.metadata["gpx_trk_ext"])[0]["text"] == "7"
+
+
+class TestFitShortHeaderBuffer:
+    def test_12_byte_buffer_claiming_14_byte_header(self):
+        # fuzz-found: a 12-byte buffer whose header-size byte says 14
+        # must diagnose, not raise
+        data = bytes([14, 0x10, 0, 0, 0, 0, 0, 0]) + b".FIT"
+        assert len(data) == 12
+        parsed = fit_mod.parse_fit(data, "a")
+        assert any(d[1] == "fit.header.too_short" for d in parsed.diags)

@@ -144,12 +144,37 @@ def test_mutation_fuzz_parsers_never_throw():
     from activity_files_ray.sources import csv_fmt, geojson as gj, gpx as gp, tcx as tc
     from activity_files_ray.sources import fit as fm
 
+    import pandas as pd
+
+    t0, t2 = int(pts["ts_us"].iloc[0]), int(pts["ts_us"].iloc[2])
+    rich_spans = pd.DataFrame(
+        {
+            # spans with extras/length stats so the round-2 FIT paths
+            # (shared extras layouts, device_info, swim stats) are in
+            # the fuzz corpus — this corpus found the 12-byte-buffer/
+            # 14-byte-header crash
+            "activity_id": ["a"] * 3,
+            "kind": ["lap", "session", "length"],
+            "start_us": [t0, t0, t0],
+            "end_us": [t2, t2, t2],
+            "sport": ["running"] * 3,
+            "dist_m": [100.0, 100.0, np.nan],
+            "avg_hr": [140.0, 141.0, np.nan],
+            "extra_fields": ['{"22":480}', '{"34":87}', None],
+            "extra_arrays": ['{"57":[1,2,3]}', None, None],
+            "total_strokes": [np.nan, np.nan, 18.0],
+            "is_active": [np.nan, np.nan, 1.0],
+        }
+    )
     base = {
         "gpx": gp.encode_gpx(pts, ch),
         "tcx": tc.encode_tcx(pts, ch),
         "csv": csv_fmt.encode_csv(pts, ch),
         "geojson": gj.encode_geojson(pts, ch, mode="points"),
-        "fit": fm.encode_fit(pts, ch),
+        "fit": fm.encode_fit(
+            pts, ch, spans=rich_spans, manufacturer_id=1,
+            device={"software_version": "9.75", "model": "FR"},
+        ),
     }
     rng = np.random.default_rng(1234)
     for fmt, payload in base.items():
