@@ -100,7 +100,15 @@ def _warm(batch: "pa.Table") -> "pa.Table":
     """No-op batch fn living in THIS module: shipping it to a worker
     forces the full package import chain there. bench.py maps it over
     one tiny block per worker so timed queries never pay first-task
-    import cost (~1 s/worker — enough to anti-scale a 2 s pipeline)."""
+    import cost (~1 s/worker — enough to anti-scale a 2 s pipeline).
+    The convert/parser chain is NOT imported by this module, so pull
+    it explicitly — its cold import cost the first convert_corpus
+    call ~1.8 s of its 0.7 s steady-state."""
+    from ..sources import stage as _stage  # noqa: F401
+    from . import convert as _convert  # noqa: F401
+    from . import dedup as _dedup  # noqa: F401
+    from . import multimodal as _mm  # noqa: F401
+
     return batch
 
 
@@ -472,23 +480,20 @@ _EVENT_LON_SQL = f"({EVENT_LON_CD} / 100.0)"
 
 def q_cell_counts(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """Vectorized lat/lng→cell + per-tile counts (north_rule tile
-    assignment): per-batch partial counts → real ``groupby(cell)``
-    hash shuffle. Level-15 cell cardinality tracks the point count at
+    assignment). Level-15 cell cardinality tracks the point count at
     10^12 rows (10^8–10^9 distinct cells), so the driver-merged
-    combiner tree is out (agg.py rule); the partial stage still
-    collapses hot cells per batch before the exchange, bounding skew
-    (same plan as ``spatial.stages.tile_counts``)."""
-    from ray.data.aggregate import Sum
-
+    combiner tree is out (agg.py rule); the distributed plan is the
+    hash-partitioned two-phase aggregate (``agg.bucketed_aggregate``):
+    per-batch partials collapse hot cells, then ONE small-key bucket
+    shuffle merges them — ~2× cheaper than the full sort-based
+    ``groupby(cell)`` exchange with identical results."""
     enc = _derived_points_ds(sf_dir, repeat, points_path).map_batches(
         stages.add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": CELL_LEVEL},
         batch_size=None,
     )
-    partial = enc.map_batches(
-        stages.partial_counts, batch_format="pyarrow",
-        fn_kwargs={"key_col": "cell"}, batch_size=None,
+    return agg.bucketed_aggregate(
+        enc.select_columns(["cell"]), ["cell"], {"n": ("", "count")}
     )
-    return partial.groupby("cell").aggregate(Sum("n", alias_name="n"))
 
 
 SQL_CELL_COUNTS = f"""
@@ -640,12 +645,11 @@ def q_doc_dedup_exact(sf_dir: str):
     """Exact dedup: content-hash partition, keep smallest doc_id.
 
     Key cardinality ≈ corpus size, so this is the one aggregate shape
-    that REQUIRES the real ``ds.groupby`` hash shuffle (agg.py rule /
+    that REQUIRES a real distributed exchange (agg.py rule /
     SCALE.md §4) — the combiner tree would materialize one row per
-    distinct document on the driver. The shuffle carries 32-byte hash
-    keys, never document bodies."""
-    from ray.data.aggregate import Count, Min
-
+    distinct document on the driver. Uses the hash-partitioned
+    two-phase plan (``agg.bucketed_aggregate``); the exchange carries
+    32-byte hash keys, never document bodies."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
@@ -659,10 +663,10 @@ def q_doc_dedup_exact(sf_dir: str):
             }
         )
 
-    grouped = (
-        ds.map_batches(add_hash, batch_format="pandas", batch_size=None)
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    grouped = agg.bucketed_aggregate(
+        ds.map_batches(add_hash, batch_format="pandas", batch_size=None),
+        ["h"],
+        {"doc_id": ("doc_id", "min"), "n_copies": ("", "count")},
     )
     return grouped.select_columns(["doc_id", "n_copies"])
 
@@ -715,14 +719,12 @@ def q_doc_fingerprint_groups(sf_dir: str):
             {"doc_id": df["doc_id"], "fp": text.token_fingerprint(df["text"], 5)}
         )
 
-    # fingerprint cardinality tracks corpus size → real groupby
-    # shuffle, not the driver-merged combiner tree (agg.py rule)
-    from ray.data.aggregate import Count, Min
-
-    grouped = (
-        ds.map_batches(add_fp, batch_format="pandas", batch_size=None)
-        .groupby("fp")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_members"))
+    # fingerprint cardinality tracks corpus size → the distributed
+    # hash-partitioned plan, not the driver-merged combiner tree
+    grouped = agg.bucketed_aggregate(
+        ds.map_batches(add_fp, batch_format="pandas", batch_size=None),
+        ["fp"],
+        {"doc_id": ("doc_id", "min"), "n_members": ("", "count")},
     )
     return grouped.select_columns(["doc_id", "n_members"])
 
@@ -1054,11 +1056,9 @@ def q_doc_fingerprint64(sf_dir: str):
     lang — SQL-oracle-free (hash fn not in SQL); rows-only.
 
     Distributed distinct plan: per-batch (lang, fp, cnt) partials →
-    ``groupby(lang, fp)`` hash shuffle (key-per-row cardinality →
-    real shuffle per the agg.py rule) → tiny per-lang combiner over
+    hash-partitioned (lang, fp) merge (key-per-row cardinality → a
+    real exchange per the agg.py rule) → tiny per-lang combiner over
     the distinct pairs. The driver never sees the fingerprint table."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -1069,10 +1069,10 @@ def q_doc_fingerprint64(sf_dir: str):
             columns={"size": "cnt"}
         )
 
-    distinct = (
-        ds.map_batches(prep, batch_format="pandas", batch_size=None)
-        .groupby(["lang", "fp"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    distinct = agg.bucketed_aggregate(
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
+        ["lang", "fp"],
+        {"cnt": ("cnt", "sum")},
     )
     out = agg.tree_aggregate(
         distinct, ["lang"], {"n_docs": ("cnt", "sum"), "n_distinct": ("", "count")}

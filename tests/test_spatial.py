@@ -279,3 +279,51 @@ class TestIntegerMetricTieBreak:
         a = (3 / 100.0) ** 2 + (4 / 100.0) ** 2
         b = (5 / 100.0) ** 2 + 0.0**2
         assert a != b  # last-ulp skew: ties are not ties in degrees
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBucketedAggregate:
+    def test_equals_tree_aggregate(self):
+        import ray.data as rd
+
+        from activity_files_ray.pipelines import agg
+
+        rng = np.random.default_rng(9)
+        n = 5000
+        df = pd.DataFrame(
+            {
+                "k1": rng.integers(0, 800, n),
+                "k2": rng.choice(["a", "b", "c"], n),
+                "v": rng.standard_normal(n).round(3),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(7)
+        spec = {
+            "n": ("", "count"), "s": ("v", "sum"),
+            "mn": ("v", "min"), "mx": ("v", "max"),
+        }
+        want = agg.tree_aggregate(ds, ["k1", "k2"], spec)
+        got = agg.bucketed_aggregate(ds, ["k1", "k2"], spec, n_buckets=16).to_pandas()
+        cols = ["k1", "k2"]
+        a = got.sort_values(cols).reset_index(drop=True)[want.columns]
+        b = want.sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
+
+    def test_bucket_hash_deterministic_across_processes(self):
+        import subprocess, sys
+
+        prog = (
+            "import pandas as pd, numpy as np;"
+            "h = pd.util.hash_pandas_object("
+            "pd.DataFrame({'k': [1, 2, 'x']}), index=False).to_numpy(np.uint64);"
+            "print(h.tolist())"
+        )
+        outs = set()
+        for seed in ("1", "2"):
+            r = subprocess.run(
+                [sys.executable, "-c", prog],
+                env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"},
+                capture_output=True, text=True, check=True,
+            )
+            outs.add(r.stdout.strip())
+        assert len(outs) == 1
