@@ -600,12 +600,24 @@ def _emit_span(vals: dict, kind: str, out: ParsedActivity) -> None:
     on laps but 16/17 on sessions, where 15 is max_speed)."""
     start = vals.get(2)  # start_time
     total_elapsed = vals.get(7)  # ms /1000
-    if not isinstance(start, int):
-        return
-    s_us = FIT_EPOCH_US + start * 1_000_000
-    e_us = s_us + (
-        int(total_elapsed / 1000.0 * 1e6) if isinstance(total_elapsed, (int, float)) else 0
+    elapsed_us = (
+        int(total_elapsed / 1000.0 * 1e6)
+        if isinstance(total_elapsed, (int, float))
+        else 0
     )
+    if isinstance(start, int):
+        s_us = FIT_EPOCH_US + start * 1_000_000
+        e_us = s_us + elapsed_us
+    elif kind == "session" and isinstance(vals.get(253), int):
+        # session without start_time: the reference's ActivitySummary
+        # is duration-only, so a real-world session carrying just
+        # timestamp(253)+stats must not lose its summary
+        # (fit_definition_robustness_test.dart) — derive the window
+        # from the end timestamp
+        e_us = FIT_EPOCH_US + vals[253] * 1_000_000
+        s_us = e_us - elapsed_us
+    else:
+        return
     dist = vals.get(9)
     stats: dict = {}
     _put(stats, "calories", vals.get(11))  # total_calories kcal
