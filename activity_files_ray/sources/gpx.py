@@ -178,6 +178,7 @@ def _parse_trkpt(pt, out: ParsedActivity) -> None:
     ts = None
     ext_samples: list[tuple[str, float]] = []
     foreign: list = []
+    attrs: dict = {}
     for c in pt:
         loc = _local(c.tag)
         if loc == "ele" and c.text:
@@ -191,6 +192,8 @@ def _parse_trkpt(pt, out: ParsedActivity) -> None:
                 out.diag("warning", "gpx.point.invalid_time", c.text, "")
         elif loc == "extensions":
             _collect_ext(c, ext_samples, foreign)
+        elif loc in _POINT_ATTR_TAGS and c.text and c.text.strip():
+            attrs[loc] = c.text.strip()
     if ts is None:
         # pointless without time for a time-series engine: keep the
         # point with a synthetic monotone time? The reference keeps
@@ -208,11 +211,23 @@ def _parse_trkpt(pt, out: ParsedActivity) -> None:
         out.point_ext[len(out.ts_us) - 1] = _json.dumps(
             foreign, sort_keys=True, separators=(",", ":")
         )
+    if attrs:
+        out.point_attrs[len(out.ts_us) - 1] = attrs
     for name, val in ext_samples:
         out.add_sample(name, ts, val)
 
 
 _CONTAINER_TAGS = {"trackpointextension"}  # known channel wrappers
+
+# standard GPX wpt_t child elements preserved verbatim per point
+# (gpx_parser.dart:14-31 gpxAttributes), in SCHEMA ORDER for
+# deterministic re-emission (ele/time/extensions handled separately)
+_POINT_ATTR_ORDER = (
+    "magvar", "geoidheight", "name", "cmt", "desc", "src", "sym",
+    "type", "fix", "sat", "hdop", "vdop", "pdop", "ageofdgpsdata",
+    "dgpsid",
+)
+_POINT_ATTR_TAGS = frozenset(_POINT_ATTR_ORDER)
 
 
 def _collect_ext(node, acc: list, foreign: list | None = None) -> None:
@@ -278,6 +293,8 @@ def _parse_simple_point(node) -> dict | None:
             ts = iso_to_us(c.text)
             if ts is not None:
                 pt["time_us"] = ts
+        elif loc == "sym" and c.text:
+            pt["sym"] = c.text
         elif loc == "name" and c.text:
             pt["name"] = c.text
     return pt
@@ -354,6 +371,7 @@ def encode_gpx(
     lon = points["lon"].to_numpy(np.float64)
     ele = points["ele"].to_numpy(np.float64) if "ele" in points else np.full(ts.size, np.nan)
     ext_col = points["ext"].tolist() if "ext" in points else None
+    attrs_col = points["attrs"].tolist() if "attrs" in points else None
     joined: dict[str, np.ndarray] = {}
     if channels is not None and len(channels):
         tol = channel_tolerances_us or {}
@@ -386,6 +404,8 @@ def encode_gpx(
             wpt_parts.append(f"<time>{us_to_iso(int(wp['time_us']))}</time>")
         if wp.get("name"):
             wpt_parts.append(f"<name>{_esc(wp['name'])}</name>")
+        if wp.get("sym"):
+            wpt_parts.append(f"<sym>{_esc(wp['sym'])}</sym>")
         wpt_parts.append("</wpt>\n")
     for rt in routes or []:
         wpt_parts.append("<rte>")
@@ -415,6 +435,13 @@ def encode_gpx(
             if np.isfinite(ele[i]):
                 parts.append(f"<ele>{ele[i]:.2f}</ele>")
             parts.append(f"<time>{us_to_iso(int(ts[i]))}</time>")
+            if attrs_col is not None and isinstance(attrs_col[i], str) and attrs_col[i]:
+                import json as _json
+
+                pa_ = _json.loads(attrs_col[i])
+                for tag in _POINT_ATTR_ORDER:
+                    if tag in pa_:
+                        parts.append(f"<{tag}>{_esc(str(pa_[tag]))}</{tag}>")
             exts = []
             for ch in sorted(joined):
                 v = joined[ch][i]

@@ -87,6 +87,12 @@ def us_to_iso(ts_us: int) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%S.%f").rstrip("0") + "Z"
 
 
+def _json_dumps_sorted(d: dict) -> str:
+    import json
+
+    return json.dumps(d, sort_keys=True, separators=(",", ":"))
+
+
 @dataclass
 class ParsedActivity:
     """One payload's parse output, columnar-ready."""
@@ -123,6 +129,9 @@ class ParsedActivity:
     # point index → JSON of foreign extension-node trees (the open
     # ``ext`` column, SURVEY §1.2)
     point_ext: dict = field(default_factory=dict)
+    # point index → {standard GPX child element: raw text} (hdop/sat/
+    # fix/name/sym/…, gpx_parser.dart:14-31 gpxAttributes analog)
+    point_attrs: dict = field(default_factory=dict)
     # diagnostics: (severity, code, message, path)
     diags: list = field(default_factory=list)
 
@@ -155,6 +164,11 @@ class ParsedActivity:
                     [np.nan if e is None else e for e in self.ele], dtype=np.float64
                 ),
                 "ext": [self.point_ext.get(i) for i in range(len(self.ts_us))],
+                "attrs": [
+                    (_json_dumps_sorted(self.point_attrs[i])
+                     if i in self.point_attrs else None)
+                    for i in range(len(self.ts_us))
+                ],
             }
         )
 
@@ -208,6 +222,17 @@ class ParsedActivity:
                         for i in range(len(self.span_kind))
                     ]
                     for col in ("extra_fields", "extra_arrays")
+                },
+                # TCX lap strings (models.dart tcxIntensity /
+                # tcxTriggerMethod): nullable object columns
+                **{
+                    col: [
+                        (self.span_stats[i].get(col)
+                         if i < len(self.span_stats) and self.span_stats[i]
+                         else None)
+                        for i in range(len(self.span_kind))
+                    ]
+                    for col in ("tcx_intensity", "tcx_trigger_method")
                 },
             }
         )

@@ -47,6 +47,7 @@ def activity_to_json(parsed: ParsedActivity) -> dict:
         },
         "segment_starts": [int(i) for i in parsed.segment_starts],
         "point_ext": {str(k): v for k, v in parsed.point_ext.items()},
+        "point_attrs": {str(k): v for k, v in parsed.point_attrs.items()},
         "channels": {
             "name": list(parsed.ch_name),
             "ts_us": [int(t) for t in parsed.ch_ts_us],
@@ -112,6 +113,7 @@ def activity_from_json(data: dict) -> ParsedActivity:
     out.ele = [None if e is None else float(e) for e in pts.get("ele", [])]
     out.segment_starts = [int(i) for i in data.get("segment_starts", [])]
     out.point_ext = {int(k): v for k, v in (data.get("point_ext") or {}).items()}
+    out.point_attrs = {int(k): v for k, v in (data.get("point_attrs") or {}).items()}
     ch = data.get("channels") or {}
     out.ch_name = list(ch.get("name", []))
     out.ch_ts_us = [int(t) for t in ch.get("ts_us", [])]

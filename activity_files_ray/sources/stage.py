@@ -168,7 +168,7 @@ def parse_batch_union(batch: pa.Table) -> pa.Table:
 
 
 _UNION_COLUMNS = {
-    "point": ["activity_id", "seq", "ts_us", "lat", "lon", "ele", "ext"],
+    "point": ["activity_id", "seq", "ts_us", "lat", "lon", "ele", "ext", "attrs"],
     "channel": ["activity_id", "channel", "ts_us", "value"],
     "span": ["activity_id", "span_kind", "start_us", "end_us", "sport", "dist_m"],
     "diag": ["activity_id", "severity", "code", "message", "path"],

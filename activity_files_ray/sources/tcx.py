@@ -112,6 +112,10 @@ def _parse_lap(lap, sport: str | None, out: ParsedActivity) -> None:
                 stats["calories"] = float(child.text)
             except ValueError:
                 pass
+        elif loc == "Intensity" and child.text:
+            stats["tcx_intensity"] = child.text.strip()
+        elif loc == "TriggerMethod" and child.text:
+            stats["tcx_trigger_method"] = child.text.strip()
         elif loc in ("AverageHeartRateBpm", "MaximumHeartRateBpm"):
             for v in child:
                 if _local(v.tag) == "Value" and v.text:
@@ -255,10 +259,13 @@ def encode_tcx(
                     r.get("sport") if isinstance(r.get("sport"), str) else None,
                     _stat(r, "dist_m"),
                     _stat(r, "calories"), _stat(r, "avg_hr"), _stat(r, "max_hr"),
+                    r.get("tcx_intensity") if isinstance(r.get("tcx_intensity"), str) else None,
+                    r.get("tcx_trigger_method") if isinstance(r.get("tcx_trigger_method"), str) else None,
                 )
             )
     if not laps and ts.size:
-        laps = [(int(ts[0]), int(ts[-1]), sport, None, None, None, None)]  # tcx_encoder.dart:37-46
+        laps = [(int(ts[0]), int(ts[-1]), sport, None, None, None, None,
+                 None, None)]  # tcx_encoder.dart:37-46
     # group consecutive same-sport laps into one Activity each
     groups: list[list[tuple]] = []
     for lap in laps:
@@ -275,7 +282,7 @@ def encode_tcx(
         gsport = _SPORT_TO_TCX.get((grp[0][2] or sport or "other"), "Other")
         start_iso = us_to_iso(grp[0][0])
         parts.append(f'<Activity Sport="{gsport}"><Id>{start_iso}</Id>\n')
-        for s_us, e_us, _sp, dist, cal, ahr, mhr in grp:
+        for s_us, e_us, _sp, dist, cal, ahr, mhr, inten, trig in grp:
             parts.append(
                 f'<Lap StartTime="{us_to_iso(s_us)}">'
                 f"<TotalTimeSeconds>{(e_us - s_us) / 1e6:.1f}</TotalTimeSeconds>"
@@ -292,6 +299,12 @@ def encode_tcx(
                 parts.append(
                     f"<MaximumHeartRateBpm><Value>{int(round(mhr))}</Value></MaximumHeartRateBpm>"
                 )
+            # Intensity precedes TriggerMethod precedes Track in the
+            # TCX schema (tcx_encoder.dart:155-168)
+            if inten:
+                parts.append(f"<Intensity>{_xml_escape(inten)}</Intensity>")
+            if trig:
+                parts.append(f"<TriggerMethod>{_xml_escape(trig)}</TriggerMethod>")
             parts.append("<Track>\n")
             in_lap = (ts >= s_us) & (ts <= e_us)  # J3 containment join
             for i in np.nonzero(in_lap)[0]:

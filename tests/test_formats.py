@@ -1239,3 +1239,70 @@ class TestFitShortHeaderBuffer:
         assert len(data) == 12
         parsed = fit_mod.parse_fit(data, "a")
         assert any(d[1] == "fit.header.too_short" for d in parsed.diags)
+
+
+class TestGpxPointAttributes:
+    def test_hdop_sat_fix_survive(self):
+        # mirrors the reference's gpx_lossless_test: per-point GPS
+        # quality attributes round-trip verbatim
+        xml = b"""<?xml version="1.0"?>
+<gpx version="1.1" xmlns="http://www.topografix.com/GPX/1/1">
+  <trk><trkseg>
+    <trkpt lat="40.0" lon="-105.0">
+      <ele>1600</ele><time>2024-01-01T10:00:00Z</time>
+      <hdop>0.9</hdop><sat>11</sat><fix>3d</fix>
+    </trkpt>
+    <trkpt lat="40.001" lon="-105.001">
+      <time>2024-01-01T10:00:10Z</time><hdop>1.2</hdop>
+    </trkpt>
+  </trkseg></trk>
+</gpx>"""
+        parsed = gpx.parse_gpx(xml, "a1")
+        assert parsed.point_attrs[0] == {"hdop": "0.9", "sat": "11", "fix": "3d"}
+        assert parsed.point_attrs[1] == {"hdop": "1.2"}
+        p2 = gpx.encode_gpx(parsed.points_df(), None)
+        again = gpx.parse_gpx(p2, "a1")
+        assert again.point_attrs == parsed.point_attrs
+        # double round-trip byte-stable
+        p3 = gpx.encode_gpx(again.points_df(), None)
+        assert p2 == p3
+
+    def test_waypoint_sym_survives(self):
+        xml = b"""<?xml version="1.0"?>
+<gpx version="1.1" xmlns="http://www.topografix.com/GPX/1/1">
+  <wpt lat="40.1" lon="-105.2"><name>summit</name><sym>Summit</sym></wpt>
+  <trk><trkseg>
+    <trkpt lat="40.0" lon="-105.0"><time>2024-01-01T10:00:00Z</time></trkpt>
+  </trkseg></trk>
+</gpx>"""
+        parsed = gpx.parse_gpx(xml, "a1")
+        assert parsed.waypoints[0]["name"] == "summit"
+        assert parsed.waypoints[0]["sym"] == "Summit"
+        p2 = gpx.encode_gpx(parsed.points_df(), None, waypoints=parsed.waypoints)
+        again = gpx.parse_gpx(p2, "a1")
+        assert again.waypoints[0].get("sym") == "Summit"
+
+
+class TestTcxLapIntensityTrigger:
+    def test_intensity_trigger_roundtrip(self):
+        # mirrors the reference's tcx_lossless_test
+        xml = b"""<?xml version="1.0" encoding="UTF-8"?>
+<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">
+<Activities><Activity Sport="Running"><Id>2024-07-21T06:00:00Z</Id>
+<Lap StartTime="2024-07-21T06:00:00Z">
+<TotalTimeSeconds>60</TotalTimeSeconds><DistanceMeters>200</DistanceMeters>
+<Intensity>Active</Intensity><TriggerMethod>Manual</TriggerMethod>
+<Track><Trackpoint><Time>2024-07-21T06:00:00Z</Time>
+<Position><LatitudeDegrees>47.5</LatitudeDegrees><LongitudeDegrees>-122.2</LongitudeDegrees></Position>
+</Trackpoint></Track></Lap></Activity></Activities>
+</TrainingCenterDatabase>"""
+        parsed = tcx.parse_tcx(xml, "a1")
+        sdf = parsed.spans_df()
+        assert sdf["tcx_intensity"].iloc[0] == "Active"
+        assert sdf["tcx_trigger_method"].iloc[0] == "Manual"
+        from activity_files_ray.pipelines import convert as cv
+        p2, _d = cv.convert_one(xml, "tcx", "a1")
+        again = tcx.parse_tcx(p2, "a1")
+        s2 = again.spans_df()
+        assert s2["tcx_intensity"].iloc[0] == "Active"
+        assert s2["tcx_trigger_method"].iloc[0] == "Manual"
