@@ -105,14 +105,36 @@ def _parse_geometry(geom: dict, props: dict, out: ParsedActivity, path: str) -> 
         out.diag("warning", "geojson.geometry.unsupported", str(gtype), path)
         return
     times = (props.get("coordinateProperties") or {}).get("times")
-    # scalar props → metadata; sport hint
+    # ALL scalar props → metadata with their JSON types preserved
+    # (string/int/float/bool — geojson_parser.dart:358-366); sport
+    # hint from the usual keys incl. activity_type
     for k, v in props.items():
         if k == "coordinateProperties":
             continue
-        if isinstance(v, str):
-            out.metadata[str(k)] = v
-            if str(k).lower() in ("sport", "type", "activity"):
-                out.sport = v.strip().lower()
+        if v is None or isinstance(v, (dict, list)):
+            continue
+        out.metadata[str(k)] = v
+        if isinstance(v, str) and str(k).lower() in (
+            "sport", "type", "activity", "activity_type"
+        ):
+            out.sport = v.strip().lower()
+    # shared per-feature timestamp (properties.timestamp); invalid →
+    # epoch fallback with a diagnostic (geojson_parser.dart:386-403)
+    shared_ts = None
+    raw_ts = props.get("timestamp")
+    if raw_ts is not None:
+        shared_ts = iso_to_us(str(raw_ts))
+        if shared_ts is None:
+            out.diag(
+                "warning", "geojson.point.invalid_timestamp",
+                "properties.timestamp is not a date; epoch fallback", path,
+            )
+    if gtype == "Polygon" and len(geom.get("coordinates") or []) > 1:
+        n_holes = len(geom["coordinates"]) - 1
+        out.diag(
+            "warning", "geojson.polygon_holes_dropped",
+            f"{n_holes} interior ring(s) not representable as a track", path,
+        )
     flat_idx = 0
     for ring in rings:
         seg_start = len(out.ts_us)
@@ -129,12 +151,12 @@ def _parse_geometry(geom: dict, props: dict, out: ParsedActivity, path: str) -> 
             if isinstance(times, list) and flat_idx < len(times):
                 ts = iso_to_us(str(times[flat_idx]))
             if ts is None:
-                out.diag(
-                    "warning", "geojson.point.missing_time",
-                    "coordinate without matching time skipped", f"{path}[{flat_idx}]",
-                )
-                flat_idx += 1
-                continue
+                ts = shared_ts
+            if ts is None:
+                # timeless geometry keeps its points with the epoch
+                # fallback (geojson_parser.dart:7-10,410-411) rather
+                # than dropping the track
+                ts = 0
             ele = float(c[2]) if len(c) > 2 else None
             out.add_point(ts, float(c[1]), float(c[0]), ele)
             added = True

@@ -1306,3 +1306,47 @@ class TestTcxLapIntensityTrigger:
         s2 = again.spans_df()
         assert s2["tcx_intensity"].iloc[0] == "Active"
         assert s2["tcx_trigger_method"].iloc[0] == "Manual"
+
+
+class TestGeojsonLosslessParity:
+    """Mirrors the reference's geojson_lossless_test.dart."""
+
+    def test_property_json_types_survive(self):
+        j = b'''{"type":"Feature",
+ "geometry":{"type":"LineString","coordinates":[[11.0,47.0,500],[11.001,47.001,501]]},
+ "properties":{"activity_type":"running","notes":"Morning loop",
+   "total_distance":"21849.097","temperature":7,"wind_speed":3.5,"indoor":false,
+   "coordinateProperties":{"times":["2024-01-01T10:00:00Z","2024-01-01T10:00:10Z"]}}}'''
+        p = geojson.parse_geojson(j, "a")
+        assert p.metadata["notes"] == "Morning loop"
+        assert p.metadata["total_distance"] == "21849.097"  # string kept
+        assert p.metadata["temperature"] == 7 and isinstance(p.metadata["temperature"], int)
+        assert p.metadata["wind_speed"] == 3.5
+        assert p.metadata["indoor"] is False
+        assert "coordinateProperties" not in p.metadata
+        assert p.sport == "running"
+        from activity_files_ray.pipelines import convert as cv
+        out, _d = cv.convert_one(j, "geojson", "a")
+        p2 = geojson.parse_geojson(out, "a")
+        assert p2.metadata["temperature"] == 7
+        assert p2.metadata["wind_speed"] == 3.5
+        assert p2.metadata["total_distance"] == "21849.097"
+
+    def test_polygon_exterior_with_holes(self):
+        j = b'''{"type":"Feature","geometry":{"type":"Polygon","coordinates":[
+ [[11.0,47.0],[11.001,47.0],[11.001,47.001],[11.0,47.0]],
+ [[11.0005,47.0005],[11.0006,47.0005],[11.0005,47.0006]]]},
+ "properties":{"activity_type":"hiking"}}'''
+        p = geojson.parse_geojson(j, "a")
+        assert len(p.ts_us) == 4  # exterior ring kept with epoch fallback
+        assert p.sport == "hiking"
+        assert any(d[1] == "geojson.polygon_holes_dropped" for d in p.diags)
+
+    def test_shared_timestamp_property(self):
+        j = b'''{"type":"Feature","geometry":{"type":"LineString",
+ "coordinates":[[11.0,47.0],[11.001,47.001]]},
+ "properties":{"timestamp":"2024-05-01T08:00:00Z"}}'''
+        p = geojson.parse_geojson(j, "a")
+        assert len(p.ts_us) == 2
+        assert all(t == p.ts_us[0] for t in p.ts_us)
+        assert p.ts_us[0] == 1714550400000000
