@@ -26,11 +26,30 @@ import pandas as pd
 
 from .model import ParsedActivity, iso_to_us, us_to_iso
 
-_CHANNEL_PROPS = {
-    "heart_rate", "heartrate", "hr", "cadence", "power", "temperature",
-    "speed", "distance", "depth",
-}
 _CH_RENAME = {"heartrate": "heart_rate", "hr": "heart_rate"}
+
+# numeric properties under these keys stay metadata-only; every OTHER
+# numeric property becomes a channel sample (custom channels for
+# unknown names — geojson_parser.dart:483-516)
+_META_PROP_KEYS = frozenset({
+    "timestamp", "altitude", "activity_type", "start_time", "duration",
+    "total_calories", "total_steps", "num_laps", "avg_heart_rate",
+    "max_heart_rate", "device_manufacturer", "coordinateProperties",
+    "duration_s",  # this encoder's computed duration property
+})
+
+
+def _collect_channel_samples(ts: int, props: dict, out: ParsedActivity) -> None:
+    for k, v in props.items():
+        if (
+            not isinstance(v, (int, float))
+            or isinstance(v, bool)
+            or not isinstance(k, str)
+            or k in _META_PROP_KEYS
+        ):
+            continue
+        kl = k.strip().lower()
+        out.add_sample(_CH_RENAME.get(kl, kl), ts, float(v))
 
 
 def parse_geojson(data: bytes, activity_id: str) -> ParsedActivity:
@@ -67,7 +86,8 @@ def _parse_point_collection(feats: list, out: ParsedActivity) -> None:
     for i, f in enumerate(feats):
         coords = (f.get("geometry") or {}).get("coordinates") or []
         props = f.get("properties") or {}
-        ts = iso_to_us(str(props.get("time", ""))) if props.get("time") else None
+        raw_time = props.get("time") or props.get("timestamp")
+        ts = iso_to_us(str(raw_time)) if raw_time else None
         if len(coords) < 2 or ts is None:
             out.diag(
                 "warning", "geojson.point.skipped",
@@ -76,10 +96,10 @@ def _parse_point_collection(feats: list, out: ParsedActivity) -> None:
             continue
         ele = float(coords[2]) if len(coords) > 2 else None
         out.add_point(ts, float(coords[1]), float(coords[0]), ele)
-        for k, v in props.items():
-            kl = str(k).strip().lower()
-            if kl in _CHANNEL_PROPS and isinstance(v, (int, float)):
-                out.add_sample(_CH_RENAME.get(kl, kl), ts, float(v))
+        _collect_channel_samples(ts, props, out)
+        at = props.get("activity_type")
+        if out.sport is None and isinstance(at, str):
+            out.sport = at.strip().lower()
 
 
 def _parse_feature(f: dict, out: ParsedActivity, path: str) -> None:
@@ -159,6 +179,7 @@ def _parse_geometry(geom: dict, props: dict, out: ParsedActivity, path: str) -> 
                 ts = 0
             ele = float(c[2]) if len(c) > 2 else None
             out.add_point(ts, float(c[1]), float(c[0]), ele)
+            _collect_channel_samples(ts, props, out)
             added = True
             flat_idx += 1
         if added:

@@ -179,6 +179,7 @@ def _parse_trkpt(pt, out: ParsedActivity) -> None:
     ext_samples: list[tuple[str, float]] = []
     foreign: list = []
     attrs: dict = {}
+    bad_ext: list = []
     for c in pt:
         loc = _local(c.tag)
         if loc == "ele" and c.text:
@@ -191,7 +192,7 @@ def _parse_trkpt(pt, out: ParsedActivity) -> None:
             if ts is None:
                 out.diag("warning", "gpx.point.invalid_time", c.text, "")
         elif loc == "extensions":
-            _collect_ext(c, ext_samples, foreign)
+            _collect_ext(c, ext_samples, foreign, bad=bad_ext)
         elif loc in _POINT_ATTR_TAGS and c.text and c.text.strip():
             attrs[loc] = c.text.strip()
     if ts is None:
@@ -213,6 +214,12 @@ def _parse_trkpt(pt, out: ParsedActivity) -> None:
         )
     if attrs:
         out.point_attrs[len(out.ts_us) - 1] = attrs
+    for tag, txt in bad_ext:
+        out.diag(
+            "warning", "gpx.extension.invalid_number",
+            f"unparsable extension value {txt!r} for {tag}",
+            f"points[{len(out.ts_us) - 1}].extensions.{tag}",
+        )
     for name, val in ext_samples:
         out.add_sample(name, ts, val)
 
@@ -230,7 +237,13 @@ _POINT_ATTR_ORDER = (
 _POINT_ATTR_TAGS = frozenset(_POINT_ATTR_ORDER)
 
 
-def _collect_ext(node, acc: list, foreign: list | None = None) -> None:
+def _collect_ext(
+    node,
+    acc: list,
+    foreign: list | None = None,
+    in_container: bool = False,
+    bad: list | None = None,
+) -> None:
     for c in node:
         loc = _local(c.tag)
         ch = _EXT_CHANNELS.get(loc)
@@ -241,13 +254,26 @@ def _collect_ext(node, acc: list, foreign: list | None = None) -> None:
                 pass
         elif loc in _CONTAINER_TAGS:
             # known channel wrapper: recurse for channel tags
-            _collect_ext(c, acc, foreign)
+            _collect_ext(c, acc, foreign, True, bad)
+        elif in_container:
+            # INSIDE TrackPointExtension every numeric-text tag is a
+            # channel (custom for unknown names); non-numeric text
+            # diagnoses and is skipped (gpx_parser.dart:263-291)
+            txt = (c.text or "").strip()
+            if not txt:
+                continue
+            try:
+                acc.append((loc.strip().lower(), float(txt)))
+            except ValueError:
+                if bad is not None:
+                    bad.append((loc, txt))
         elif foreign is not None:
-            # unknown element → the WHOLE subtree is preserved
-            # (GpxExtensionNode analog, models.dart:978-1026)
+            # unknown element OUTSIDE the container → the WHOLE
+            # subtree is preserved (GpxExtensionNode analog,
+            # models.dart:978-1026)
             foreign.append(_node_to_tree(c))
         elif len(c) > 0:
-            _collect_ext(c, acc, None)
+            _collect_ext(c, acc, None, in_container, bad)
 
 
 def _node_to_tree(node) -> dict:

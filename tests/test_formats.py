@@ -1350,3 +1350,63 @@ class TestGeojsonLosslessParity:
         assert len(p.ts_us) == 2
         assert all(t == p.ts_us[0] for t in p.ts_us)
         assert p.ts_us[0] == 1714550400000000
+
+
+class TestGeojsonChannelCollection:
+    def test_unknown_numeric_props_as_custom_channels(self):
+        # format_fidelity_test.dart: point features with timestamp +
+        # custom numeric props -> built-in and custom channels
+        j = (b'{"type":"FeatureCollection","features":[{"type":"Feature",'
+             b'"geometry":{"type":"Point","coordinates":[9.0,48.0,300.0]},'
+             b'"properties":{"timestamp":"2024-04-02T07:00:00Z","altitude":300.0,'
+             b'"heart_rate":140,"core_temp":37.2}}]}')
+        p = geojson.parse_geojson(j, "a")
+        assert len(p.ts_us) == 1
+        ch = p.channels_df()
+        hr = ch[ch["channel"] == "heart_rate"]["value"]
+        ct = ch[ch["channel"] == "core_temp"]["value"]
+        assert hr.tolist() == [140.0] and ct.tolist() == [37.2]
+        assert not (ch["channel"] == "altitude").any()  # metadata-only key
+
+    def test_linestring_feature_props_become_channels(self):
+        j = (b'{"type":"Feature","geometry":{"type":"LineString",'
+             b'"coordinates":[[11.0,47.0],[11.001,47.001]]},'
+             b'"properties":{"wind_speed":3.5,'
+             b'"coordinateProperties":{"times":'
+             b'["2024-01-01T10:00:00Z","2024-01-01T10:00:10Z"]}}}')
+        p = geojson.parse_geojson(j, "a")
+        ch = p.channels_df()
+        ws = ch[ch["channel"] == "wind_speed"]
+        assert len(ws) == 2 and set(ws["value"]) == {3.5}
+
+
+class TestGpxUnknownTpxTags:
+    def test_unknown_numeric_tpx_tag_is_custom_channel(self):
+        # format_fidelity_test.dart: unknown numeric TPX tags become
+        # custom channels; foreign nodes OUTSIDE the container are
+        # preserved as extension trees; non-numeric TPX text diagnoses
+        xml = b"""<?xml version="1.0"?>
+<gpx version="1.1" xmlns="http://www.topografix.com/GPX/1/1"
+     xmlns:gpxtpx="http://www.garmin.com/xmlschemas/TrackPointExtension/v1"
+     xmlns:myext="urn:my">
+<trk><trkseg>
+<trkpt lat="47.0" lon="11.0"><time>2024-01-01T10:00:00Z</time>
+<extensions>
+  <gpxtpx:TrackPointExtension>
+    <gpxtpx:hr>140</gpxtpx:hr>
+    <gpxtpx:vertical_osc>8.5</gpxtpx:vertical_osc>
+    <gpxtpx:label>abc</gpxtpx:label>
+  </gpxtpx:TrackPointExtension>
+  <myext:sensor quality="good">42</myext:sensor>
+</extensions>
+</trkpt>
+</trkseg></trk></gpx>"""
+        parsed = gpx.parse_gpx(xml, "a1")
+        ch = parsed.channels_df()
+        assert ch[ch["channel"] == "heart_rate"]["value"].tolist() == [140.0]
+        assert ch[ch["channel"] == "vertical_osc"]["value"].tolist() == [8.5]
+        assert any(d[1] == "gpx.extension.invalid_number" for d in parsed.diags)
+        import json
+        trees = json.loads(parsed.point_ext[0])
+        assert trees[0]["tag"] == "sensor" and trees[0]["text"] == "42"
+        assert trees[0]["attrs"]["quality"] == "good"
