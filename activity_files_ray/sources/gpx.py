@@ -35,10 +35,13 @@ _EXT_CHANNELS = {
     "cadence": "cadence",
     "atemp": "temperature",
     "temp": "temperature",
+    "wtemp": "water_temperature",
     "power": "power",
     "watts": "power",
     "speed": "speed",
     "depth": "depth",
+    "course": "course",
+    "bearing": "bearing",
 }
 
 _SPORT_WORDS = {
@@ -343,8 +346,15 @@ def _parse_rte(node) -> dict:
 
 GPX_NS = "http://www.topografix.com/GPX/1/1"
 GPX10_NS = "http://www.topografix.com/GPX/1/0"
-TPX_NS = "http://www.garmin.com/xmlschemas/TrackPointExtension/v1"
-_TPX_TAGS = {"heart_rate": "hr", "cadence": "cad", "temperature": "atemp"}
+TPX_NS = "http://www.garmin.com/xmlschemas/TrackPointExtension/v2"
+# full TPX v2 field set (gpx_encoder.dart:395-408); hr/cad are whole
+# numbers per the schema, the rest keep decimals
+_TPX_TAGS = {
+    "heart_rate": "hr", "cadence": "cad", "power": "power",
+    "temperature": "atemp", "water_temperature": "wtemp",
+    "depth": "depth", "speed": "speed", "course": "course",
+    "bearing": "bearing",
+}
 
 DEFAULT_TOLERANCE_US = 5_000_000  # 5 s default channel join tolerance
 # (encoder_options.dart:13,41-42)

@@ -220,6 +220,7 @@ def encode_tcx(
     channel_tolerances_us: dict[str, int] | None = None,
     notes: str | None = None,
     author: str | None = None,
+    version: str = "2",
 ) -> bytes:
     """points/channels/laps → TCX bytes. Laps grouped into consecutive
     same-sport Activities; synthetic whole-track lap when none.
@@ -273,9 +274,14 @@ def encode_tcx(
             groups[-1].append(lap)
         else:
             groups.append([lap])
+    ns = (
+        "http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v1"
+        if version == "1"
+        else "http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2"
+    )  # TCX v1/v2 output (tcx_version_test.dart parity)
     parts = [
         '<?xml version="1.0" encoding="UTF-8"?>\n'
-        '<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">\n'
+        f'<TrainingCenterDatabase xmlns="{ns}">\n'
         "<Activities>\n"
     ]
     for gi, grp in enumerate(groups):

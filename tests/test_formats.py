@@ -41,8 +41,8 @@ class TestGpx:
         parsed = gpx.parse_gpx(payload, "a1")
         _assert_points_equal(pts, parsed.points_df())
         cdf = parsed.channels_df()
-        # TPX carries hr/cad/temp (power has no TPX v1 tag)
-        assert set(cdf["channel"]) == {"heart_rate", "cadence", "temperature"}
+        # TPX v2 carries hr/cad/temp AND power (gpx_encoder.dart:395-408)
+        assert set(cdf["channel"]) == {"heart_rate", "cadence", "temperature", "power"}
         hr = cdf[cdf.channel == "heart_rate"].sort_values("ts_us")
         assert hr["value"].tolist() == [140.0, 142.0, 145.0]
         assert parsed.name == "morning ride"
@@ -1410,3 +1410,54 @@ class TestGpxUnknownTpxTags:
         trees = json.loads(parsed.point_ext[0])
         assert trees[0]["tag"] == "sensor" and trees[0]["text"] == "42"
         assert trees[0]["attrs"]["quality"] == "good"
+
+
+class TestTcxVersions:
+    def test_parse_v1_payload(self):
+        xml = b"""<?xml version="1.0" encoding="UTF-8"?>
+<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v1">
+<Activities><Activity Sport="Running"><Id>2024-05-01T00:00:00Z</Id>
+<Lap StartTime="2024-05-01T00:00:00Z"><TotalTimeSeconds>5.0</TotalTimeSeconds>
+<Track><Trackpoint><Time>2024-05-01T00:00:00Z</Time>
+<Position><LatitudeDegrees>40.0</LatitudeDegrees><LongitudeDegrees>-105.0</LongitudeDegrees></Position>
+<HeartRateBpm><Value>140</Value></HeartRateBpm><Cadence>80</Cadence>
+</Trackpoint></Track></Lap></Activity></Activities></TrainingCenterDatabase>"""
+        assert detect.detect_format(xml) == "tcx"
+        p = tcx.parse_tcx(xml, "a")
+        assert not [d for d in p.diags if d[0] == "error"]
+        assert len(p.ts_us) == 1
+        ch = set(p.ch_name)
+        assert {"heart_rate", "cadence"} <= ch
+
+    def test_encode_v1_when_requested(self):
+        pts = canonical_points()
+        p1 = tcx.encode_tcx(pts, None, sport="running", version="1")
+        assert b"TrainingCenterDatabase/v1" in p1
+        again = tcx.parse_tcx(p1, "a")
+        assert len(again.ts_us) == 3 and again.sport == "running"
+
+
+class TestGpxTpxV2Fields:
+    def test_all_v2_fields_roundtrip(self):
+        # gpx_extensions_test.dart: the full v2 TPX set round-trips
+        pts = canonical_points().head(1)
+        t0 = int(pts["ts_us"].iloc[0])
+        ch = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 6,
+                "channel": ["heart_rate", "water_temperature", "depth",
+                            "course", "bearing", "speed"],
+                "ts_us": [t0] * 6,
+                "value": [140.0, 15.0, 5.5, 45.0, 90.0, 3.5],
+            }
+        )
+        payload = gpx.encode_gpx(pts, ch)
+        assert b"gpxtpx:wtemp" in payload and b"gpxtpx:course" in payload
+        assert b"TrackPointExtension/v2" in payload
+        parsed = gpx.parse_gpx(payload, "a")
+        cdf = parsed.channels_df().set_index("channel")["value"]
+        assert cdf["water_temperature"] == 15.0
+        assert cdf["depth"] == 5.5
+        assert cdf["course"] == 45.0
+        assert cdf["bearing"] == 90.0
+        assert cdf["speed"] == 3.5
