@@ -200,7 +200,10 @@ def _convert_core(
         if spans is not None and len(spans):
             rows = rows + vd.validate_spans_rows(spans, window)
     extra: dict = {}
-    if to_fmt == "tcx":
+    if to_fmt == "csv":
+        if parsed.sport:
+            extra = {"sport": parsed.sport}
+    elif to_fmt == "tcx":
         extra = {"spans": spans, "sport": parsed.sport}
         if parsed.creator:
             extra["creator"] = parsed.creator

@@ -60,6 +60,8 @@ def parse_csv(data: bytes, activity_id: str) -> ParsedActivity:
             roles.append(_COL_ALIASES[h])
         elif h in _KNOWN_CHANNELS:
             roles.append("ch:" + _CH_RENAME.get(h, h))
+        elif h == "sport":
+            roles.append("sport")  # activity sport column (csv_parser.dart:86-89)
         else:
             roles.append("maybe:" + h)  # custom channel iff numeric
     if "time" not in roles:
@@ -95,6 +97,9 @@ def parse_csv(data: bytes, activity_id: str) -> ParsedActivity:
                 "warning", "csv.row.invalid_coordinate",
                 f"row {rownum} skipped", f"rows[{rownum}]",
             )
+        sp = vals.get("sport")
+        if sp and sp.strip() and out.sport is None:
+            out.sport = sp.strip().lower()
         for role, raw in vals.items():
             if role.startswith("ch:"):
                 v = _f(raw)
@@ -118,10 +123,12 @@ def _f(s) -> float | None:
 
 
 def encode_csv(
-    points: pd.DataFrame, channels: pd.DataFrame | None = None
+    points: pd.DataFrame, channels: pd.DataFrame | None = None,
+    sport: str | None = None,
 ) -> bytes:
     """points + channels → CSV bytes, deterministic column order:
-    time,lat,lon,ele then sorted channel names (csv_encoder.dart:54)."""
+    time,lat,lon,ele then sorted channel names, then sport when given
+    (csv_encoder.dart:8,76)."""
     ts = points["ts_us"].to_numpy(np.int64)
     lat = points["lat"].to_numpy(np.float64)
     lon = points["lon"].to_numpy(np.float64)
@@ -139,7 +146,7 @@ def encode_csv(
     names = sorted(ch_maps)
     buf = io.StringIO()
     w = csv.writer(buf, lineterminator="\n")
-    w.writerow(["time", "lat", "lon", "ele"] + names)
+    w.writerow(["time", "lat", "lon", "ele"] + names + (["sport"] if sport else []))
     for i in range(ts.size):
         row = [
             us_to_iso(int(ts[i])),
@@ -150,6 +157,8 @@ def encode_csv(
         for ch in names:
             v = ch_maps[ch].get(int(ts[i]))
             row.append(_numstr(v) if v is not None else "")
+        if sport:
+            row.append(sport)
         w.writerow(row)
     return buf.getvalue().encode()
 

@@ -38,7 +38,9 @@ _ENCODERS = {
                  if k in ("spans", "sport", "creator", "tolerance_us",
                           "notes", "author")}
     ),
-    "csv": lambda p, c, **kw: csv_fmt.encode_csv(p, c),
+    "csv": lambda p, c, **kw: csv_fmt.encode_csv(
+        p, c, **{k: v for k, v in kw.items() if k in ("sport",)}
+    ),
     "geojson": lambda p, c, **kw: geojson.encode_geojson(
         p, c, **{k: v for k, v in kw.items() if k in ("metadata", "mode")}
     ),

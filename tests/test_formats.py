@@ -1461,3 +1461,21 @@ class TestGpxTpxV2Fields:
         assert cdf["course"] == 45.0
         assert cdf["bearing"] == 90.0
         assert cdf["speed"] == 3.5
+
+
+class TestCsvSportColumn:
+    def test_sport_column_roundtrip(self):
+        csvb = (b"timestamp,latitude,longitude,sport\n"
+                b"2024-01-01T10:00:00Z,40.0,-105.0,cycling\n"
+                b"2024-01-01T10:00:10Z,40.0005,-105.0005,cycling\n")
+        p = csv_fmt.parse_csv(csvb, "a")
+        assert p.sport == "cycling" and len(p.ts_us) == 2
+        assert not any(c == "sport" for c in p.ch_name)
+        out = csv_fmt.encode_csv(p.points_df(), None, sport=p.sport)
+        assert b",sport" in out.splitlines()[0]
+        again = csv_fmt.parse_csv(out, "a")
+        assert again.sport == "cycling"
+        # convert carries it through CSV->CSV
+        from activity_files_ray.pipelines import convert as cv
+        out2, _d = cv.convert_one(csvb, "csv", "a")
+        assert csv_fmt.parse_csv(out2, "a").sport == "cycling"
