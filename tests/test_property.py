@@ -166,9 +166,16 @@ def test_mutation_fuzz_parsers_never_throw():
             "is_active": [np.nan, np.nan, 1.0],
         }
     )
+    pts_attrs = pts.copy()
+    pts_attrs["attrs"] = ['{"fix":"3d","hdop":"0.9","sat":"11"}'] + [None] * (len(pts) - 1)
     base = {
-        "gpx": gp.encode_gpx(pts, ch),
-        "tcx": tc.encode_tcx(pts, ch),
+        "gpx": gp.encode_gpx(
+            pts_attrs, ch,
+            meta_ext=[{"tag": "color", "text": "red"}],
+            trk_ext=[{"tag": "effort", "text": "7"}],
+            waypoints=[{"lat": 40.1, "lon": -105.2, "name": "w", "sym": "Summit"}],
+        ),
+        "tcx": tc.encode_tcx(pts, ch, notes="n1", author="a1"),
         "csv": csv_fmt.encode_csv(pts, ch),
         "geojson": gj.encode_geojson(pts, ch, mode="points"),
         "fit": fm.encode_fit(
