@@ -587,23 +587,29 @@ def ngram_jaccard_pairs(
     return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
 
+def _fetch_column(ds, id_col: str, val_col: str, ids: list):
+    """Broadcast-id-set semi-join: stream the corpus, keep only the
+    candidate rows (Arrow-native filter — zero-copy, and empty result
+    blocks keep a real schema instead of object-dtype pandas)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idset = pa.array(list(ids))
+
+    def pick(t: pa.Table) -> pa.Table:
+        sub = t.select([id_col, val_col])
+        return sub.filter(pc.is_in(sub[id_col], value_set=idset))
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=None).to_pandas()
+
+
 def _fetch_texts(ds, id_col: str, text_col: str, ids: list) -> dict:
-    idset = set(ids)
-
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df[id_col].isin(idset)][[id_col, text_col]]
-
-    got = ds.map_batches(pick, batch_format="pandas", batch_size=None).to_pandas()
+    got = _fetch_column(ds, id_col, text_col, ids)
     return dict(zip(got[id_col], got[text_col]))
 
 
 def _fetch_vecs(ds, id_col: str, vec_col: str, ids: list) -> dict:
-    idset = set(ids)
-
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df[id_col].isin(idset)][[id_col, vec_col]]
-
-    got = ds.map_batches(pick, batch_format="pandas", batch_size=None).to_pandas()
+    got = _fetch_column(ds, id_col, vec_col, ids)
     return {
         i: np.asarray(v, dtype=np.float64) for i, v in zip(got[id_col], got[vec_col])
     }
