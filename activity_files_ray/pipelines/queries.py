@@ -794,8 +794,12 @@ def q_fit_extra_roundtrip(sf_dir: str):
     Exercises fit_parser.dart:1057-1089 / fit_encoder.dart:1293-1346
     parity (extraFitFields/extraFitArrays) under Ray map_batches."""
     from ..sources import fit as fit_mod
+    from .tune import coalesce_small
 
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    ds = coalesce_small(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]),
+        target_rows_per_block=512,
+    )
     s_us = int(fit_mod.FIT_EPOCH_US + 1_000_000_000 * 1_000_000)
     empty_pts = pd.DataFrame(
         {"ts_us": pd.Series(dtype="int64"), "lat": pd.Series(dtype="float64"),
@@ -806,19 +810,25 @@ def q_fit_extra_roundtrip(sf_dir: str):
         cents = _i100(df["o_totalprice"].to_numpy())
         got_scalar = np.empty(len(df), dtype=np.int64)
         got_arr0 = np.empty(len(df), dtype=np.int64)
+        # ONE template spans frame per batch, cells mutated per order —
+        # a fresh one-row DataFrame per order was ~half the kernel time
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["x"],
+                "kind": ["session"],
+                "start_us": [s_us],
+                "end_us": [s_us + 60_000_000],
+                "sport": [None],
+                "dist_m": [np.nan],
+                "extra_fields": [""],
+                "extra_arrays": [""],
+            }
+        )
+        ef_i = spans.columns.get_loc("extra_fields")
+        ea_i = spans.columns.get_loc("extra_arrays")
         for i, (key, c) in enumerate(zip(df["o_orderkey"], cents)):
-            spans = pd.DataFrame(
-                {
-                    "activity_id": [str(key)],
-                    "kind": ["session"],
-                    "start_us": [s_us],
-                    "end_us": [s_us + 60_000_000],
-                    "sport": [None],
-                    "dist_m": [np.nan],
-                    "extra_fields": [f'{{"35":{int(c)}}}'],
-                    "extra_arrays": [f'{{"57":[{int(c)},{int(key)}]}}'],
-                }
-            )
+            spans.iat[0, ef_i] = f'{{"35":{int(c)}}}'
+            spans.iat[0, ea_i] = f'{{"57":[{int(c)},{int(key)}]}}'
             payload = fit_mod.encode_fit(empty_pts, None, spans=spans)
             parsed = fit_mod.parse_fit(payload, str(key))
             stats = parsed.span_stats[0] if parsed.span_stats else {}
