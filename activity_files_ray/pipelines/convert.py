@@ -193,6 +193,19 @@ def _convert_core(
     channels = parsed.channels_df()
     if needs_spans or (diag_level == "full" and parsed.span_kind):
         spans = parsed.spans_df()
+        if opt.sort_and_dedup and len(spans):
+            # normalize sorts laps chronologically (raw_transforms
+            # sortAndDedup, 'sorts laps by start time'); other span
+            # kinds keep their relative order
+            laps_mask = spans["kind"] == "lap"
+            if laps_mask.any():
+                spans = pd.concat(
+                    [
+                        spans[laps_mask].sort_values("start_us", kind="mergesort"),
+                        spans[~laps_mask],
+                    ],
+                    ignore_index=True,
+                )
     if diag_level == "full" and len(fixed):
         window = (int(fixed["ts_us"].min()), int(fixed["ts_us"].max()))
         if len(channels):

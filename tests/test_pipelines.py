@@ -321,3 +321,29 @@ class TestCliExportImport:
         assert cli.main(["import", str(js), "-o", str(out), "-t", "gpx"]) == 0
         reparsed = stage.parse_payload(out.read_bytes(), "x", "gpx")
         assert len(reparsed.ts_us) == 3 and reparsed.name == "ride"
+
+
+class TestConvertSortsLaps:
+    def test_out_of_order_laps_sorted_on_convert(self):
+        from activity_files_ray import fixtures
+        from activity_files_ray.pipelines import convert as cv
+        from activity_files_ray.sources import tcx
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        t = pts["ts_us"].tolist()
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 2,
+                "kind": ["lap", "lap"],
+                "start_us": [t[1], t[0]],  # OUT OF ORDER
+                "end_us": [t[2], t[1]],
+                "sport": ["running", "running"],
+                "dist_m": [200.0, 100.0],
+            }
+        )
+        src = tcx.encode_tcx(pts, None, spans, sport="running")
+        out, _d = cv.convert_one(src, "tcx", "a")
+        sdf = tcx.parse_tcx(out, "a").spans_df()
+        starts = sdf[sdf["kind"] == "lap"]["start_us"].tolist()
+        assert starts == sorted(starts)
