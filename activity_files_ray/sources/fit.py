@@ -269,6 +269,13 @@ def parse_fit(
                 break
             if seen is not None:
                 last_ts = seen
+    n_sessions = sum(1 for k in out.span_kind if k == "session")
+    if n_sessions > 1:
+        out.diag(
+            "info", "fit.multi_session",
+            f"Multi-session FIT file ({n_sessions} sessions); all sessions "
+            "preserved as span rows", "fit.session",
+        )
     return out
 
 

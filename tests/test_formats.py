@@ -1479,3 +1479,20 @@ class TestCsvSportColumn:
         from activity_files_ray.pipelines import convert as cv
         out2, _d = cv.convert_one(csvb, "csv", "a")
         assert csv_fmt.parse_csv(out2, "a").sport == "cycling"
+
+
+class TestFitMultiSessionDiag:
+    def test_multi_session_info_diagnostic(self):
+        pts = canonical_points()
+        t = pts["ts_us"].astype("int64").tolist()
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 2, "kind": ["session"] * 2,
+                "start_us": [t[0], t[1]], "end_us": [t[1], t[2]],
+                "sport": ["swimming", "cycling"], "dist_m": [np.nan] * 2,
+            }
+        )
+        parsed = fit_mod.parse_fit(fit_mod.encode_fit(pts, None, spans=spans), "a")
+        assert any(d[1] == "fit.multi_session" and d[0] == "info" for d in parsed.diags)
+        single = fit_mod.parse_fit(fit_mod.encode_fit(pts, None), "a")
+        assert not any(d[1] == "fit.multi_session" for d in single.diags)
