@@ -54,8 +54,10 @@ def parse_tcx(data: bytes, activity_id: str) -> ParsedActivity:
     if _local(root.tag) != "TrainingCenterDatabase":
         out.diag("error", "tcx.parse.not_tcx", f"root {root.tag}", "")
         return out
+    n_activities = 0
     for acts in root.iter():
         if _local(acts.tag) == "Activity":
+            n_activities += 1
             _parse_activity(acts, out)
         elif _local(acts.tag) == "Creator" and out.creator is None:
             for c in acts:
@@ -67,6 +69,14 @@ def parse_tcx(data: bytes, activity_id: str) -> ParsedActivity:
             for c in acts:
                 if _local(c.tag) == "Name" and c.text:
                     out.metadata["tcx_author"] = c.text
+    if n_activities > 1:
+        # merged into one activity with sport-specific laps, re-split
+        # by sport on encode (tcx_parser.dart:93-105)
+        out.diag(
+            "info", "tcx.multi_activity",
+            f"Multi-activity TCX file ({n_activities} activities) merged "
+            "into one activity with sport-specific laps", "tcx.activities",
+        )
     return out
 
 

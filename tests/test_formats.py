@@ -1496,3 +1496,22 @@ class TestFitMultiSessionDiag:
         assert any(d[1] == "fit.multi_session" and d[0] == "info" for d in parsed.diags)
         single = fit_mod.parse_fit(fit_mod.encode_fit(pts, None), "a")
         assert not any(d[1] == "fit.multi_session" for d in single.diags)
+
+
+class TestTcxMultiActivityDiag:
+    def test_multi_activity_info(self):
+        pts = canonical_points()
+        t = pts["ts_us"].astype("int64").tolist()
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 2, "kind": ["lap"] * 2,
+                "start_us": [t[0], t[1]], "end_us": [t[1], t[2]],
+                "sport": ["running", "cycling"],  # two sport groups → two Activities
+                "dist_m": [100.0, 200.0],
+            }
+        )
+        payload = tcx.encode_tcx(pts, None, spans)
+        parsed = tcx.parse_tcx(payload, "a")
+        assert any(d[1] == "tcx.multi_activity" and d[0] == "info" for d in parsed.diags)
+        single = tcx.parse_tcx(tcx.encode_tcx(pts, None, sport="running"), "a")
+        assert not any(d[1] == "tcx.multi_activity" for d in single.diags)
