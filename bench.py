@@ -122,6 +122,29 @@ def run_bench() -> dict:
     rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
         q._warm, batch_format="pyarrow", batch_size=1
     ).count()
+    # first use of a repartition+materialize pipeline in a session
+    # costs ~0.5 s regardless of data size — exercise it untimed with
+    # a 4-row corpus so the timed convert measures convert
+    import pyarrow as _pa
+
+    from activity_files_ray import fixtures as _fx
+    from activity_files_ray.pipelines import convert as _cv
+    from activity_files_ray.sources import gpx as _gpx
+
+    _tp = _fx.canonical_trackpoints().to_pandas()
+    _tp["ts_us"] = _tp["ts_us"].astype("int64")
+    _payload = _gpx.encode_gpx(_tp, None)
+    _enc, _ = _cv.convert_corpus(
+        rd.from_arrow(
+            _pa.table(
+                {"activity_id": [f"w{i}" for i in range(4)],
+                 "bytes": _pa.array([_payload] * 4, _pa.binary())}
+            )
+        ),
+        "geojson",
+        validate=False,
+    )
+    _enc.count()
 
     def _ensure_payloads() -> str:
         """Cached corpus of GPX payloads for the convert-pipeline
