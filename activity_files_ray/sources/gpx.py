@@ -280,9 +280,18 @@ def _collect_ext(
 
 
 def _node_to_tree(node) -> dict:
-    """XML element → lossless dict tree {tag, attrs?, text?, children?}."""
-    tag = node.tag.rsplit("}", 1)[-1]
-    out: dict = {"tag": tag}
+    """XML element → lossless dict tree {tag, ns?, attrs?, text?,
+    children?}. The namespace URI is preserved (prefixes are
+    serialization detail per the XML spec; re-emission binds the URI
+    as the element's default namespace)."""
+    raw = node.tag
+    out: dict = {}
+    if raw.startswith("{"):
+        uri, _, local = raw[1:].partition("}")
+        out["ns"] = uri
+        out["tag"] = local
+    else:
+        out["tag"] = raw
     if node.attrib:
         out["attrs"] = dict(node.attrib)
     if node.text and node.text.strip():
@@ -293,12 +302,22 @@ def _node_to_tree(node) -> dict:
     return out
 
 
-def _tree_to_xml(tree: dict) -> str:
-    attrs = "".join(
+def _tree_to_xml(tree: dict, parent_ns: str | None = None) -> str:
+    ns = tree.get("ns")
+    attrs = ""
+    if ns and ns != parent_ns:
+        # bind the preserved URI as the default namespace — prefixes
+        # are arbitrary; URI equality is what XML semantics require
+        attrs += f' xmlns="{_esc(ns)}"'
+    elif not ns and parent_ns:
+        # an un-namespaced node under a defaulted parent must unbind
+        # the default or reparse would absorb the parent namespace
+        attrs += ' xmlns=""'
+    attrs += "".join(
         f' {k}="{_esc(str(v))}"' for k, v in sorted((tree.get("attrs") or {}).items())
     )
     inner = _esc(tree.get("text", "")) + "".join(
-        _tree_to_xml(c) for c in tree.get("children", [])
+        _tree_to_xml(c, ns if ns else parent_ns) for c in tree.get("children", [])
     )
     tag = tree["tag"]
     return f"<{tag}{attrs}>{inner}</{tag}>" if inner else f"<{tag}{attrs}/>"
@@ -428,7 +447,7 @@ def encode_gpx(
     if meta_ext:
         parts.append(
             "<metadata><extensions>"
-            + "".join(_tree_to_xml(t) for t in meta_ext)
+            + "".join(_tree_to_xml(t, ns) for t in meta_ext)
             + "</extensions></metadata>\n"
         )
     wpt_parts = []
@@ -460,7 +479,7 @@ def encode_gpx(
     if trk_ext:
         parts.append(
             "<extensions>"
-            + "".join(_tree_to_xml(t) for t in trk_ext)
+            + "".join(_tree_to_xml(t, ns) for t in trk_ext)
             + "</extensions>\n"
         )
     bounds = segs + [ts.size]
@@ -491,7 +510,7 @@ def encode_gpx(
                 import json as _json
 
                 foreign_xml = "".join(
-                    _tree_to_xml(t) for t in _json.loads(ext_col[i])
+                    _tree_to_xml(t, ns) for t in _json.loads(ext_col[i])
                 )
             if exts or foreign_xml:
                 parts.append("<extensions>")

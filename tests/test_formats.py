@@ -1515,3 +1515,27 @@ class TestTcxMultiActivityDiag:
         assert any(d[1] == "tcx.multi_activity" and d[0] == "info" for d in parsed.diags)
         single = tcx.parse_tcx(tcx.encode_tcx(pts, None, sport="running"), "a")
         assert not any(d[1] == "tcx.multi_activity" for d in single.diags)
+
+
+class TestGpxExtensionNamespaces:
+    def test_namespace_uri_survives_roundtrip(self):
+        # URI (not prefix) is the XML-semantic identity of a foreign
+        # node; it now survives parse -> tree -> encode -> parse
+        xml = b"""<?xml version="1.0"?>
+<gpx version="1.1" xmlns="http://www.topografix.com/GPX/1/1" xmlns:myext="urn:my">
+<trk><trkseg>
+<trkpt lat="47.0" lon="11.0"><time>2024-01-01T10:00:00Z</time>
+<extensions><myext:sensor quality="good">42</myext:sensor></extensions>
+</trkpt>
+</trkseg></trk></gpx>"""
+        import json
+        p1 = gpx.parse_gpx(xml, "a")
+        t1 = json.loads(p1.point_ext[0])
+        assert t1[0]["ns"] == "urn:my" and t1[0]["tag"] == "sensor"
+        out = gpx.encode_gpx(p1.points_df(), None)
+        assert b'xmlns="urn:my"' in out
+        p2 = gpx.parse_gpx(out, "a")
+        t2 = json.loads(p2.point_ext[0])
+        assert t2 == t1
+        # double round-trip byte-stable
+        assert gpx.encode_gpx(p2.points_df(), None) == out
