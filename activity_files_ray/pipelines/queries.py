@@ -949,6 +949,18 @@ def q_minhash_dupes(sf_dir: str):
     return clusters
 
 
+def q_minhash_dupes_distcc(sf_dir: str):
+    """MinHash near-dup clusters with the DISTRIBUTED
+    connected-components assembly (alternating-star groupby passes —
+    dedup.cluster_pairs_distributed) instead of the driver union-find;
+    rows-only, pytest-proven equal to the union-find labels."""
+    from . import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _clusters, pairs = dedup.minhash_dedup(ds, threshold=0.8)
+    return dedup.cluster_pairs_distributed(pairs[["a", "b"]])
+
+
 def q_simhash_dupes(sf_dir: str):
     """SimHash near-dup clusters over documents (rows-only)."""
     from . import dedup
@@ -1623,6 +1635,7 @@ QUERIES: dict[str, tuple] = {
     "embed_axis_topk": (q_embed_axis_topk, SQL_EMBED_AXIS_TOPK),
     "embed_cosine_topk": (q_embed_cosine_topk, None),
     "minhash_dupes": (q_minhash_dupes, None),
+    "minhash_dupes_distcc": (q_minhash_dupes_distcc, None),
     "simhash_dupes": (q_simhash_dupes, None),
     "embed_near_dup": (q_embed_near_dup, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),

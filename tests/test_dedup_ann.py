@@ -297,3 +297,20 @@ class TestIvfPartitionedLayout:
         import os
         n_dirs = sum(1 for d in os.listdir(idx_dir) if d.startswith("cluster="))
         assert n_dirs >= 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistccQueryMatchesUnionFind:
+    def test_corpus_clusters_equal(self):
+        import ray.data as rd
+
+        from activity_files_ray.pipelines import queries as q
+
+        dist = q.q_minhash_dupes_distcc("/root/testdata/sf0.001")
+        uf = q.q_minhash_dupes("/root/testdata/sf0.001")
+        uf = uf.to_pandas() if hasattr(uf, "to_pandas") else uf
+        pd.testing.assert_frame_equal(
+            dist.reset_index(drop=True),
+            uf.sort_values("doc_id").reset_index(drop=True),
+            check_dtype=False,
+        )
