@@ -1539,3 +1539,23 @@ class TestGpxExtensionNamespaces:
         assert t2 == t1
         # double round-trip byte-stable
         assert gpx.encode_gpx(p2.points_df(), None) == out
+
+
+class TestGpxVersions:
+    def test_parse_gpx10_and_encode_when_requested(self):
+        # gpx_version_test.dart parity: 1.0 namespace parses; encoder
+        # emits 1.0 on request and round-trips
+        xml = b"""<?xml version="1.0"?>
+<gpx version="1.0" xmlns="http://www.topografix.com/GPX/1/0">
+<trk><trkseg>
+<trkpt lat="47.0" lon="11.0"><ele>1600</ele><time>2024-01-01T10:00:00Z</time></trkpt>
+<trkpt lat="47.001" lon="11.001"><time>2024-01-01T10:00:10Z</time></trkpt>
+</trkseg></trk></gpx>"""
+        assert detect.detect_format(xml) == "gpx"
+        p = gpx.parse_gpx(xml, "a")
+        assert len(p.ts_us) == 2 and not [d for d in p.diags if d[0] == "error"]
+        out = gpx.encode_gpx(p.points_df(), None, version="1.0")
+        assert b'version="1.0"' in out and b"GPX/1/0" in out
+        again = gpx.parse_gpx(out, "a")
+        assert len(again.ts_us) == 2
+        assert gpx.encode_gpx(again.points_df(), None, version="1.0") == out
