@@ -165,6 +165,8 @@ def _convert_core(
                 "n_laps": sum(1 for k in parsed.span_kind if k == "lap"),
                 "n_events": sum(1 for k in parsed.span_kind if k == "event"),
                 "n_sessions": sum(1 for k in parsed.span_kind if k == "session"),
+                "n_sets": sum(1 for k in parsed.span_kind if k == "set"),
+                "n_lengths": sum(1 for k in parsed.span_kind if k == "length"),
                 "n_segments": max(1, len(parsed.segment_starts)),
                 "n_waypoints": parsed.n_waypoints,
                 "n_routes": parsed.n_routes,

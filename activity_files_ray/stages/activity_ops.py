@@ -138,7 +138,8 @@ def flatten_tracks(points: pd.DataFrame) -> pd.DataFrame:
 _FORMAT_CAPS = {
     "gpx": {"points", "channels", "segments", "waypoints", "routes"},
     "tcx": {"points", "channels", "laps", "sports"},
-    "fit": {"points", "channels", "laps", "sessions", "events", "sports"},
+    "fit": {"points", "channels", "laps", "sessions", "events", "sports",
+            "sets", "lengths"},
     "csv": {"points", "channels"},
     "geojson": {"points", "channels", "metadata"},
 }
@@ -178,6 +179,8 @@ def lossy_diag_rows(
     note("laps", int(stats.get("n_laps", 0)), "laps")
     note("events", int(stats.get("n_events", 0)), "events")
     note("sessions", int(stats.get("n_sessions", 0)), "sessions")
+    note("sets", int(stats.get("n_sets", 0)), "sets")
+    note("lengths", int(stats.get("n_lengths", 0)), "lengths")
     note("waypoints", int(stats.get("n_waypoints", 0)), "waypoints")
     note("routes", int(stats.get("n_routes", 0)), "routes")
     if int(stats.get("n_segments", 0)) > 1 and "segments" not in caps:

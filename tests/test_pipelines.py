@@ -347,3 +347,30 @@ class TestConvertSortsLaps:
         sdf = tcx.parse_tcx(out, "a").spans_df()
         starts = sdf[sdf["kind"] == "lap"]["start_us"].tolist()
         assert starts == sorted(starts)
+
+
+class TestLossySetsLengths:
+    def test_fit_sets_lengths_dropped_on_gpx(self):
+        from activity_files_ray import fixtures
+        from activity_files_ray.pipelines import convert as cv
+        from activity_files_ray.sources import fit as fit_mod
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        t = pts["ts_us"].tolist()
+        spans = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 2, "kind": ["length", "set"],
+                "start_us": [t[0], t[1]], "end_us": [t[1], t[2]],
+                "sport": [None, None], "dist_m": [np.nan, np.nan],
+                "reps": [np.nan, 10.0],
+            }
+        )
+        src = fit_mod.encode_fit(pts, None, spans=spans)
+        _out, diags = cv.convert_one(src, "gpx", "a")
+        codes = set(diags["code"])
+        assert "lossy.sets_dropped" in codes
+        assert "lossy.lengths_dropped" in codes
+        # FIT -> FIT loses nothing
+        _out2, diags2 = cv.convert_one(src, "fit", "a")
+        assert not any(c.startswith("lossy.") for c in diags2["code"])
