@@ -1559,3 +1559,22 @@ class TestGpxVersions:
         again = gpx.parse_gpx(out, "a")
         assert len(again.ts_us) == 2
         assert gpx.encode_gpx(again.points_df(), None, version="1.0") == out
+
+
+class TestFitTruncatedDevFieldDefinition:
+    def test_truncated_dev_field_list_diagnoses(self):
+        import struct
+        # definition with dev-data bit and a dev-field list that runs
+        # past the end of the data section: must emit the precise
+        # fit.definition.truncated diagnostic, not a generic internal
+        # error (advisor finding)
+        body = bytearray()
+        body += bytes([0x60, 0, 0]) + struct.pack("<H", 20) + bytes([1])
+        body += bytes([253, 4, 0x86])   # one regular field
+        body += bytes([2])              # claims TWO dev fields...
+        body += bytes([0, 8, 0])        # ...but only one fits
+        payload = TestFitLossless._fit_file(bytes(body))
+        # strip the trailing CRC so the dev list truncates mid-stream
+        parsed = fit_mod.parse_fit(payload[: 14 + len(body) - 1], "a")
+        assert any(d[1] == "fit.definition.truncated" for d in parsed.diags)
+        assert not any(d[1] == "parse.internal_error" for d in parsed.diags)
