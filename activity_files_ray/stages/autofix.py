@@ -111,30 +111,51 @@ def mark_laps_by_distance(
         distance = geo.cumulative_distance_m(
             df["lat"].to_numpy(np.float64), df["lon"].to_numpy(np.float64)
         )
-    # monotonicize: ignore negative deltas (raw_editor.dart:703-709)
-    mono = np.maximum.accumulate(np.nan_to_num(distance, nan=0.0))
-    rows = []
+    raw = np.nan_to_num(np.asarray(distance, dtype=np.float64), nan=0.0)
     if ts.size == 0:
         return pd.DataFrame(
             columns=["activity_id", "kind", "name", "start_us", "end_us", "dist_m"]
         )
+    # monotonicize by DROPPING negative deltas and keeping positive
+    # ones (raw_editor.dart:700-709 — NOT a running max: a dip
+    # followed by a partial recovery still accumulates the recovery)
+    mono = np.empty_like(raw)
+    mono[0] = raw[0]
+    if raw.size > 1:
+        mono[1:] = raw[0] + np.cumsum(np.clip(np.diff(raw), 0.0, None))
+    rows = []
+    # split thresholds are RELATIVE to the first sample's distance —
+    # a channel starting at a nonzero cumulative offset must not fire
+    # spurious splits (raw_editor.dart:693-696; advisor finding)
     lap_start_idx = 0
-    next_cut = split_m
+    lap_start_dist = mono[0]
+    next_cut = mono[0] + split_m
     n = 1
     for i in range(ts.size):
-        if mono[i] >= next_cut:
+        # while-loop: one sample can close SEVERAL whole splits; each
+        # full split records exactly split_m (raw_editor.dart:710-723)
+        while mono[i] >= next_cut:
+            lap_d = next_cut - lap_start_dist
             rows.append(
                 (aid, "lap", f"Split {n}", int(ts[lap_start_idx]), int(ts[i]),
-                 float(mono[i] - mono[lap_start_idx]))
+                 float(lap_d) if lap_d > 0 else np.nan)
             )
             lap_start_idx = i
+            lap_start_dist = next_cut
             n += 1
             next_cut += split_m
-    if lap_start_idx < ts.size - 1 or not rows:
+    remaining = mono[-1] - lap_start_dist
+    if remaining > 0:
         rows.append(
-            (aid, "lap", f"Split {n}" if rows else "Lap 1",
-             int(ts[lap_start_idx]), int(ts[-1]),
-             float(mono[-1] - mono[lap_start_idx]))
+            (aid, "lap", f"Split {n}", int(ts[lap_start_idx]), int(ts[-1]),
+             float(remaining))
+        )
+    if not rows:
+        # zero-distance track: single whole-track fallback lap
+        # (raw_editor.dart:737-747)
+        rows.append(
+            (aid, "lap", "Split 1", int(ts[0]), int(ts[-1]),
+             float(raw[-1] - raw[0]))
         )
     return pd.DataFrame(
         rows, columns=["activity_id", "kind", "name", "start_us", "end_us", "dist_m"]

@@ -59,7 +59,9 @@ class TestAutofix:
     def test_mark_laps_fallback_single(self):
         df = _pts([0, 5_000_000], lat=np.array([40.0, 40.0]), lon=np.array([-105.0, -105.0]))
         laps = af.mark_laps_by_distance(df, 1000.0)
-        assert len(laps) == 1 and laps["name"].iloc[0] == "Lap 1"
+        # reference names the whole-track fallback 'Split 1'
+        # (raw_editor.dart:737-747)
+        assert len(laps) == 1 and laps["name"].iloc[0] == "Split 1"
 
     def test_autofix_composition(self):
         dirty = _pts([20, 10, 10, 30], lat=np.array([40.0, 40.0, 91.0, 40.01]))
@@ -374,3 +376,27 @@ class TestLossySetsLengths:
         # FIT -> FIT loses nothing
         _out2, diags2 = cv.convert_one(src, "fit", "a")
         assert not any(c.startswith("lossy.") for c in diags2["code"])
+
+
+class TestMarkLapsNonzeroOffset:
+    def test_caller_supplied_distance_with_offset(self):
+        # advisor finding: a distance channel starting at a nonzero
+        # cumulative offset must not inflate lap 1's dist_m
+        import numpy as np
+
+        from activity_files_ray.stages import autofix as af
+
+        n = 11
+        df = pd.DataFrame(
+            {
+                "activity_id": ["a"] * n,
+                "ts_us": np.arange(n, dtype=np.int64) * 1_000_000,
+                "lat": np.full(n, 40.0),
+                "lon": np.full(n, -105.0),
+            }
+        )
+        dist = 5000.0 + np.arange(n) * 100.0  # starts at 5 km offset
+        laps = af.mark_laps_by_distance(df, 500.0, distance=dist)
+        # 1000 m of NEW distance over the track -> 2 laps of ~500 m
+        assert laps["dist_m"].iloc[0] == pytest.approx(500.0, abs=1e-6)
+        assert laps["dist_m"].sum() == pytest.approx(1000.0, abs=1e-6)
