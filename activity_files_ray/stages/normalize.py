@@ -220,6 +220,27 @@ def downsample_time(df: pd.DataFrame, step_s: float, ts_col: str = "ts_us") -> p
     return df[keep].reset_index(drop=True)
 
 
+def filter_channels_to_times(
+    channels: pd.DataFrame, kept_ts: np.ndarray, tolerance_us: int,
+    ts_col: str = "ts_us",
+) -> pd.DataFrame:
+    """M9's channel companion (raw_editor.dart:525-560): after a point
+    downsample, keep only channel samples within ``tolerance_us`` of a
+    retained point time (nearest-retained via searchsorted; the
+    reference uses tolerance = max(1, step/2))."""
+    if not len(channels):
+        return channels
+    ts = channels[ts_col].astype("int64").to_numpy()
+    kept = np.sort(np.asarray(kept_ts, dtype=np.int64))
+    if kept.size == 0:
+        return channels.iloc[0:0].reset_index(drop=True)
+    idx = np.searchsorted(kept, ts)
+    left = kept[np.clip(idx - 1, 0, kept.size - 1)]
+    right = kept[np.clip(idx, 0, kept.size - 1)]
+    near = np.minimum(np.abs(ts - left), np.abs(ts - right))
+    return channels[near <= tolerance_us].reset_index(drop=True)
+
+
 def downsample_distance(df: pd.DataFrame, min_m: float) -> pd.DataFrame:
     """M10: keep points ≥ min_m haversine meters from the last kept;
     always keep the last point."""

@@ -330,3 +330,28 @@ class TestPointEditsAndSnapshot:
         hr = out[out.channel == "heart_rate"].set_index("ts_us")["value"]
         assert hr.loc[5_000_000] in (140.0, 150.0)  # nearest within step/2
         assert hr.loc[0] == 140.0
+
+
+class TestFilterChannelsToTimes:
+    def test_keeps_samples_near_retained_points(self):
+        ch = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 5,
+                "channel": ["heart_rate"] * 5,
+                "ts_us": np.array([0, 4_000_000, 10_000_000, 14_500_000, 30_000_000], dtype=np.int64),
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+        kept = np.array([0, 10_000_000, 20_000_000], dtype=np.int64)
+        out = nz.filter_channels_to_times(ch, kept, tolerance_us=5_000_000)
+        # 0 (exact), 4s (within 5s of 0), 10s (exact), 14.5s (within 5s
+        # of 10s); 30s is 10s from nearest retained → dropped
+        assert out["value"].tolist() == [1.0, 2.0, 3.0, 4.0]
+
+    def test_empty_kept_drops_all(self):
+        ch = pd.DataFrame(
+            {"activity_id": ["a"], "channel": ["hr"],
+             "ts_us": np.array([5], dtype=np.int64), "value": [1.0]}
+        )
+        out = nz.filter_channels_to_times(ch, np.array([], dtype=np.int64), 10)
+        assert len(out) == 0
