@@ -112,6 +112,20 @@ def crop(df: pd.DataFrame, start_us: int, end_us: int, ts_col: str = "ts_us") ->
     return df[(ts >= start_us) & (ts <= end_us)].reset_index(drop=True)
 
 
+def clip_spans_crop(
+    start_us: np.ndarray, end_us: np.ndarray, lo_us: int, hi_us: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """M3's span rule (raw_editor.dart:222-233): spans overlapping the
+    crop window survive with boundaries CLAMPED into [lo, hi]; fully
+    outside → dropped. Returns (new_start, new_end, keep_mask)."""
+    s = start_us.astype(np.int64).copy()
+    e = end_us.astype(np.int64).copy()
+    keep = (e >= lo_us) & (s <= hi_us)
+    s = np.clip(s, lo_us, None)
+    e = np.clip(e, None, hi_us)
+    return s, e, keep
+
+
 def shift_time(df: pd.DataFrame, delta_us: int, ts_col: str = "ts_us") -> pd.DataFrame:
     """M4: add delta to every timestamp."""
     out = df.copy()

@@ -355,3 +355,15 @@ class TestFilterChannelsToTimes:
         )
         out = nz.filter_channels_to_times(ch, np.array([], dtype=np.int64), 10)
         assert len(out) == 0
+
+
+class TestClipSpansCrop:
+    def test_crop_clamps_and_drops(self):
+        s = np.array([0, 50, 120, 300], dtype=np.int64)
+        e = np.array([40, 150, 200, 400], dtype=np.int64)
+        ns, ne, keep = nz.clip_spans_crop(s, e, 100, 250)
+        # span0 fully before -> dropped; span1 clamps head; span2
+        # inside unchanged; span3 fully after -> dropped
+        assert keep.tolist() == [False, True, True, False]
+        assert ns[keep].tolist() == [100, 120]
+        assert ne[keep].tolist() == [150, 200]
