@@ -292,6 +292,26 @@ def smooth_moving_average(values: np.ndarray, window: int) -> np.ndarray:
     return (csum[hi + 1] - csum[lo]) / (hi - lo + 1)
 
 
+def smooth_channel(values: np.ndarray, window: int) -> np.ndarray:
+    """M11 in the reference's EXACT parameterization
+    (raw_editor.dart:616-643): ``window`` is the TOTAL window size,
+    split left = (window-1)//2, right = window-left-1 — asymmetric
+    for even windows (e.g. window=4 averages [i-1 .. i+2]); window ≤ 1
+    returns the input unchanged. ``smooth_moving_average`` above is
+    the symmetric half-width convenience form."""
+    v = np.asarray(values, dtype=np.float64)
+    n = v.size
+    if n == 0 or window <= 1:
+        return v.copy()
+    left = (window - 1) // 2
+    right = window - left - 1
+    csum = np.concatenate([[0.0], np.cumsum(v)])
+    i = np.arange(n)
+    lo = np.maximum(i - left, 0)
+    hi = np.minimum(i + right, n - 1)
+    return (csum[hi + 1] - csum[lo]) / (hi - lo + 1)
+
+
 def recompute_distance_speed(df: pd.DataFrame) -> pd.DataFrame:
     """M12/M14: append cumulative haversine ``distance_m`` and
     per-segment ``speed_mps`` columns; auto sort+dedup first when

@@ -367,3 +367,26 @@ class TestClipSpansCrop:
         assert keep.tolist() == [False, True, True, False]
         assert ns[keep].tolist() == [100, 120]
         assert ne[keep].tolist() == [150, 200]
+
+
+class TestSmoothChannelTotalWindow:
+    def test_even_window_is_asymmetric(self):
+        v = np.array([0.0, 10.0, 20.0, 30.0, 40.0, 50.0])
+        out = nz.smooth_channel(v, 4)  # left=1, right=2
+        # i=2: mean(v[1..4]) = (10+20+30+40)/4 = 25
+        assert out[2] == pytest.approx(25.0)
+        # i=0: clamped to [0..2] = (0+10+20)/3
+        assert out[0] == pytest.approx(10.0)
+        # i=5: clamped to [4..5] = 45
+        assert out[5] == pytest.approx(45.0)
+
+    def test_odd_window_matches_halfwidth_form(self):
+        rng = np.random.default_rng(3)
+        v = rng.standard_normal(50)
+        np.testing.assert_allclose(
+            nz.smooth_channel(v, 5), nz.smooth_moving_average(v, 2)
+        )
+
+    def test_window_one_unchanged(self):
+        v = np.array([1.0, 2.0, 3.0])
+        np.testing.assert_array_equal(nz.smooth_channel(v, 1), v)
