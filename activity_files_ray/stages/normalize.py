@@ -486,8 +486,17 @@ def resample_channels(
             nv = nearest_join(grid_us, ts, v, tolerance_us=half_us)
             mask = np.isfinite(nv)
         else:
+            # reference emits a value at EVERY grid time
+            # (transform_utils.dart:35-72,191-200): inside → linear;
+            # past the last sample → last value (np.interp clamps);
+            # BEFORE the first sample → linear extrapolation from the
+            # first segment (the lerp factor is not clamped)
             nv = np.interp(grid_us, ts, v)
-            mask = (grid_us >= ts[0]) & (grid_us <= ts[-1])
+            before = grid_us < ts[0]
+            if before.any() and ts.size >= 2 and ts[1] != ts[0]:
+                slope = (v[1] - v[0]) / float(ts[1] - ts[0])
+                nv[before] = v[0] + slope * (grid_us[before] - ts[0]).astype(np.float64)
+            mask = np.ones(grid_us.size, dtype=bool)
         if mask.any():
             frames.append(
                 pd.DataFrame(

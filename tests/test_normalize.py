@@ -390,3 +390,25 @@ class TestSmoothChannelTotalWindow:
     def test_window_one_unchanged(self):
         v = np.array([1.0, 2.0, 3.0])
         np.testing.assert_array_equal(nz.smooth_channel(v, 1), v)
+
+
+class TestResampleChannelEdges:
+    def test_head_extrapolates_tail_clamps(self):
+        # transform_utils.dart:35-72: a grid time before the channel's
+        # first sample extrapolates from the first segment; past the
+        # last sample clamps to the last value
+        ch = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 2,
+                "channel": ["power"] * 2,
+                "ts_us": np.array([10_000_000, 20_000_000], dtype=np.int64),
+                "value": [100.0, 200.0],
+            }
+        )
+        grid = np.array([0, 10_000_000, 15_000_000, 30_000_000], dtype=np.int64)
+        out = nz.resample_channels(ch, grid, step_s=5.0)
+        got = out.set_index("ts_us")["value"]
+        assert got[0] == pytest.approx(0.0)        # extrapolated head
+        assert got[10_000_000] == pytest.approx(100.0)
+        assert got[15_000_000] == pytest.approx(150.0)
+        assert got[30_000_000] == pytest.approx(200.0)  # clamped tail
