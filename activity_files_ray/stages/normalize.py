@@ -342,9 +342,25 @@ def resample(df: pd.DataFrame, step_s: float) -> pd.DataFrame:
     if grid[-1] != ts[-1]:
         grid = np.append(grid, ts[-1])
     out = {"ts_us": grid}
-    for col in ("lat", "lon", "ele"):
+    for col in ("lat", "lon"):
         if col in df.columns:
             out[col] = np.interp(grid, ts, df[col].to_numpy(np.float64))
+    if "ele" in df.columns:
+        # elevation may be absent (NaN) per point; the reference's
+        # _interpolateOptional takes the non-null endpoint instead of
+        # poisoning the segment (transform_utils.dart:178-189)
+        ele = df["ele"].to_numpy(np.float64)
+        hi = np.clip(np.searchsorted(ts, grid, side="left"), 0, n - 1)
+        lo = np.clip(hi - (ts[hi] > grid), 0, n - 1)
+        hi = np.where(ts[lo] == grid, lo, np.clip(lo + 1, 0, n - 1))
+        span = (ts[hi] - ts[lo]).astype(np.float64)
+        frac = np.where(span > 0, (grid - ts[lo]) / np.where(span > 0, span, 1.0), 0.0)
+        e_lo, e_hi = ele[lo], ele[hi]
+        lerp = e_lo + (e_hi - e_lo) * frac
+        out["ele"] = np.where(
+            np.isnan(e_lo) & np.isnan(e_hi), np.nan,
+            np.where(np.isnan(e_lo), e_hi, np.where(np.isnan(e_hi), e_lo, lerp)),
+        )
     res = pd.DataFrame(out)
     for col in df.columns:
         if col not in res.columns and df[col].nunique(dropna=False) <= 1 and n > 0:

@@ -412,3 +412,28 @@ class TestResampleChannelEdges:
         assert got[10_000_000] == pytest.approx(100.0)
         assert got[15_000_000] == pytest.approx(150.0)
         assert got[30_000_000] == pytest.approx(200.0)  # clamped tail
+
+
+class TestResampleElevationNulls:
+    def test_missing_endpoint_takes_other(self):
+        # transform_utils.dart:178-189: null + value -> value; both
+        # null -> null; both -> lerp
+        df = pd.DataFrame(
+            {
+                "activity_id": ["a"] * 4,
+                "seq": np.arange(4, dtype=np.int32),
+                "ts_us": np.array([0, 10_000_000, 20_000_000, 30_000_000], dtype=np.int64),
+                "lat": [40.0, 40.1, 40.2, 40.3],
+                "lon": [-105.0, -105.1, -105.2, -105.3],
+                "ele": [1000.0, np.nan, np.nan, 1300.0],
+            }
+        )
+        out = nz.resample(df, 5.0)
+        got = out.set_index("ts_us")["ele"]
+        assert got[0] == pytest.approx(1000.0)
+        assert got[5_000_000] == pytest.approx(1000.0)   # NaN upper -> lower
+        assert np.isnan(got[15_000_000])                  # both NaN
+        assert got[25_000_000] == pytest.approx(1300.0)   # NaN lower -> upper
+        assert got[30_000_000] == pytest.approx(1300.0)
+        # exact sample times keep their values
+        assert got[10_000_000] == pytest.approx(1000.0) or np.isnan(got[10_000_000])
