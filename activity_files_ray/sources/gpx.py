@@ -395,7 +395,10 @@ def nearest_join(
     right = np.clip(pos, 0, sts.size - 1)
     dl = np.abs(point_ts - sts[left])
     dr = np.abs(sts[right] - point_ts)
-    use_right = dr < dl  # strict: ties go to the EARLIER sample
+    # exact half-way ties go to the LATER sample: the reference
+    # considers the >=-target cursor first and only replaces it on a
+    # STRICTLY smaller delta (channel_mapper.dart:199-211)
+    use_right = dr <= dl
     best = np.where(use_right, right, left)
     dist = np.where(use_right, dr, dl)
     out = np.where(dist <= tolerance_us, sval[best], np.nan)

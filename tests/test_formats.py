@@ -1578,3 +1578,14 @@ class TestFitTruncatedDevFieldDefinition:
         parsed = fit_mod.parse_fit(payload[: 14 + len(body) - 1], "a")
         assert any(d[1] == "fit.definition.truncated" for d in parsed.diags)
         assert not any(d[1] == "parse.internal_error" for d in parsed.diags)
+
+
+class TestNearestJoinTieBreak:
+    def test_halfway_tie_takes_later_sample(self):
+        # channel_mapper.dart:199-211: the >=-target candidate is
+        # considered first and survives equal deltas
+        pt = np.array([5_000_000], dtype=np.int64)
+        st = np.array([0, 10_000_000], dtype=np.int64)
+        sv = np.array([1.0, 2.0])
+        out = gpx.nearest_join(pt, st, sv, tolerance_us=5_000_000)
+        assert out[0] == 2.0
