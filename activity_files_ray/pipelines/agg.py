@@ -23,17 +23,39 @@ shuffle is unavoidable.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
 _MERGE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 
 
+def default_n_buckets(cluster_cpus: int | None = None) -> int:
+    """Merge-bucket count ≈ 4× total cluster cores (so per-bucket
+    merge groups stay parallel across the whole cluster), floored at
+    16 and capped at 4096 (beyond that per-group scheduling overhead
+    dominates the pandas merges). ``cluster_cpus`` overrides probing
+    — callers on a job driver can thread the known cluster width."""
+    cpus = cluster_cpus
+    if cpus is None:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                cpus = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:  # noqa: BLE001 — probe failure → local fallback
+            cpus = None
+    if not cpus or cpus <= 0:
+        cpus = os.cpu_count() or 8
+    return max(16, min(4096, 4 * int(cpus)))
+
+
 def bucketed_aggregate(
     ds,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Distributed grouped aggregate for KEY-PER-ROW cardinalities —
     the hash-partitioned two-phase plan:
@@ -51,11 +73,15 @@ def bucketed_aggregate(
     sort-based exchange with a hash fan-out — measured ~2× faster at
     bench scale and the shuffle volume is identical (the partials).
     Skew: partials collapse hot keys per batch first; the bucket hash
-    spreads distinct keys uniformly. Size ``n_buckets`` ≈ 4× total
-    cores on a cluster so merge groups stay parallel. Returns a
-    DATASET (keys + agg columns) — the result is key-per-row sized
-    and must stay distributed.
+    spreads distinct keys uniformly. ``n_buckets`` defaults to
+    :func:`default_n_buckets` (≈ 4× total cluster cores, probed from
+    ``ray.cluster_resources()``) so merge parallelism tracks cluster
+    width instead of a fixed constant. Returns a DATASET (keys + agg
+    columns) — the result is key-per-row sized and must stay
+    distributed.
     """
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
     spec = dict(aggs)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

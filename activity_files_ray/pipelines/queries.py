@@ -1581,10 +1581,14 @@ SQL_PIP_GRID_COUNTS = _sql_pip_grid_counts()
 def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = None):
     """The headline spatial pipeline (driver smoke check / bench):
     derive trackpoints → vectorized cell encode → broadcast PIP join
-    → per-(region, tile) counts via partial-combiner groupby.
+    → per-(region, tile) counts.
 
-    Every stage streams; the per-batch partials collapse before the
-    final combiner-tree merge (see pipelines/agg.py)."""
+    Every stage streams. The final aggregate keys on LEVEL-15 tile
+    ids, whose distinct count tracks covered area (10^7–10^8 keys at
+    10^12 points) — the key-per-row cardinality class, so it runs the
+    hash-partitioned two-phase plan (``agg.bucketed_aggregate``, same
+    rule as ``q_cell_counts``) and RETURNS A DATASET: the result
+    never materializes on the driver."""
     import ray
 
     idx_ref = ray.put(polygons.PolygonIndex(ORACLE_REGIONS))
@@ -1602,7 +1606,7 @@ def flagship_spatial(sf_dir: str, repeat: int = 1, points_path: str | None = Non
         stages.add_cell_columns, batch_format="pyarrow", fn_kwargs={"level": CELL_LEVEL},
         batch_size=None,
     )
-    return agg.tree_aggregate(
+    return agg.bucketed_aggregate(
         enc.select_columns(["region_id", "cell"]),
         ["region_id", "cell"],
         {"n": ("", "count")},

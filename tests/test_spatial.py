@@ -327,3 +327,74 @@ class TestBucketedAggregate:
             )
             outs.add(r.stdout.strip())
         assert len(outs) == 1
+
+    def test_default_n_buckets_tracks_cluster_width(self):
+        from activity_files_ray.pipelines import agg
+
+        # explicit cluster width: 4x cores, floored at 16, capped at 4096
+        assert agg.default_n_buckets(cluster_cpus=64) == 256
+        assert agg.default_n_buckets(cluster_cpus=1) == 16
+        assert agg.default_n_buckets(cluster_cpus=2048) == 4096
+        # probed width (ray_session runs at 4 CPUs) -> floor applies
+        assert agg.default_n_buckets() >= 16
+
+    def test_bucketed_default_sizing_used_when_unset(self, monkeypatch):
+        import ray.data as rd
+
+        from activity_files_ray.pipelines import agg
+
+        seen = {}
+        real = agg.default_n_buckets
+
+        def spy(cluster_cpus=None):
+            n = real(cluster_cpus)
+            seen["n"] = n
+            return n
+
+        monkeypatch.setattr(agg, "default_n_buckets", spy)
+        ds = rd.from_pandas(pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]}))
+        out = agg.bucketed_aggregate(ds, ["k"], {"s": ("v", "sum")}).to_pandas()
+        assert seen["n"] >= 16
+        assert sorted(out["s"].tolist()) == [3.0, 3.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFlagshipScalePlan:
+    def test_flagship_returns_dataset_not_driver_frame(self, sf_dir):
+        """VERDICT r2 item 1: the flagship's final (region_id, cell)
+        aggregate is key-per-row cardinality at target scale — it must
+        run the distributed bucketed plan and return a DATASET (no
+        driver-merged combiner tree in entry())."""
+        import ray.data
+
+        from activity_files_ray.pipelines import queries as q
+
+        res = q.flagship_spatial(sf_dir)
+        assert isinstance(res, ray.data.Dataset)
+        df = res.to_pandas()
+        assert set(df.columns) == {"region_id", "cell", "n"}
+        assert len(df) > 0
+        # parity with the driver-merged tree on the same input
+        from activity_files_ray.pipelines import agg
+        from activity_files_ray.spatial import stages as sstages
+        import ray as _ray
+
+        from activity_files_ray.functions import polygons
+
+        idx_ref = _ray.put(polygons.PolygonIndex(q.ORACLE_REGIONS))
+        pts = q._derived_points_ds(sf_dir, with_cd=False)
+        joined = pts.map_batches(
+            sstages.pip_join_batch, fn_kwargs={"index_ref": idx_ref},
+            batch_format="pyarrow", batch_size=None,
+        )
+        enc = joined.map_batches(
+            sstages.add_cell_columns, batch_format="pyarrow",
+            fn_kwargs={"level": q.CELL_LEVEL}, batch_size=None,
+        )
+        want = agg.tree_aggregate(
+            enc.select_columns(["region_id", "cell"]),
+            ["region_id", "cell"], {"n": ("", "count")},
+        )
+        a = df.sort_values(["region_id", "cell"]).reset_index(drop=True)
+        b = want.sort_values(["region_id", "cell"]).reset_index(drop=True)[a.columns]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
