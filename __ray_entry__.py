@@ -37,4 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in _q.QUERIES.items() if sql is not None}
+    return {
+        name: _q.resolve_sql(sql)
+        for name, (_fn, sql) in _q.QUERIES.items()
+        if sql is not None
+    }

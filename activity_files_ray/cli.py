@@ -1,6 +1,8 @@
 """CLI: convert / validate over files or directories (reference S13,
-``/root/reference/bin/activity_files.dart:37-394``; exit codes 64/65
-kept: 64 usage error, 65 data error).
+``/root/reference/bin/activity_files.dart:37-394``; full exit-code
+parity: 64 usage error, 65 data error, 66 missing input file
+(``activity_files.dart:171``), 70 internal/unimplemented error
+(``activity_files.dart:213,289``)).
 
 Single file → pure local path (no Ray). Directory → corpus pipeline
 on a local Ray session (the ``ray job submit`` entry point would
@@ -39,19 +41,37 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("-o", "--output", required=True)
     i.add_argument("-t", "--to", required=True,
                    choices=["gpx", "tcx", "csv", "geojson", "fit"])
-    args = ap.parse_args(argv)
-
-    if not os.path.exists(args.input):
-        print(f"error: no such input {args.input!r}", file=sys.stderr)
+    try:
+        args = ap.parse_args(argv)
+    except SystemExit as e:  # argparse usage error → sysexits EX_USAGE
+        return 0 if e.code in (0, None) else 64
+    from_fmt = getattr(args, "from_fmt", None)
+    if from_fmt is not None and from_fmt not in (
+        "gpx", "tcx", "csv", "geojson", "fit"
+    ):
+        print(f"error: unknown format {from_fmt!r}", file=sys.stderr)
         return 64
 
-    if args.cmd == "convert":
-        return _convert(args)
-    if args.cmd == "export":
-        return _export(args)
-    if args.cmd == "import":
-        return _import(args)
-    return _validate(args)
+    if not os.path.exists(args.input):
+        # EX_NOINPUT, distinct from usage/data errors so scripts can
+        # tell "file missing" from "bad data" (activity_files.dart:171)
+        print(f"error: input file not found: {args.input}", file=sys.stderr)
+        return 66
+
+    try:
+        if args.cmd == "convert":
+            return _convert(args)
+        if args.cmd == "export":
+            return _export(args)
+        if args.cmd == "import":
+            return _import(args)
+        return _validate(args)
+    except NotImplementedError as e:  # EX_SOFTWARE (dart:213,289)
+        print(f"error: not implemented: {e}", file=sys.stderr)
+        return 70
+    except Exception as e:  # noqa: BLE001 — CLI boundary: EX_SOFTWARE
+        print(f"error: internal error: {e}", file=sys.stderr)
+        return 70
 
 
 def _export(args) -> int:

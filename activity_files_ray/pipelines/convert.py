@@ -29,6 +29,7 @@ def convert_corpus(
     to_fmt: str,
     autofix: af.AutoFixOptions | None = None,
     validate: bool = True,
+    checkpoint_dir: str | None = None,
 ):
     """payloads Dataset → (encoded Dataset, diagnostics Dataset).
 
@@ -41,13 +42,20 @@ def convert_corpus(
     single ``map_batches`` kernel per row, which emits the encoded
     bytes AND that payload's diagnostics (as a JSON cell) in ONE
     pass — an earlier version re-parsed every payload up to three
-    times across the encoded/diagnostics/validation streams. The
-    combined table is materialized once (it is the pipeline OUTPUT,
-    ≈ input-sized, object-store-spillable) so forking it into the two
-    result Datasets cannot re-execute the parse; at 100 TB the same
-    fork is a ``write_parquet`` checkpoint + two column-pruned reads
-    (state/checkpoint.py). Use :func:`convert_points_corpus` for
-    inputs where one activity's points span multiple rows.
+    times across the encoded/diagnostics/validation streams.
+
+    The fork into the two result Datasets must not re-execute the
+    parse, so the combined table is pinned exactly once — two ways:
+
+    * ``checkpoint_dir=None``: ``.materialize()`` (object-store
+      blocks, spillable) — right at bench scale;
+    * ``checkpoint_dir=...``: the 100 TB shape — the combined table
+      is written ONCE as parquet (atomic: tmp dir + rename + marker)
+      and the two results are COLUMN-PRUNED reads of it; a rerun
+      pointing at the same directory skips the convert entirely and
+      serves both datasets from the checkpoint (resumed == fresh is
+      tested), matching ``jobs/convert_corpus_job.py``'s
+      per-partition manifests in-library.
     """
     import json
 
@@ -84,10 +92,9 @@ def convert_corpus(
     # ~3 ms/payload kernel: right-size blocks so each task amortizes
     # launch overhead (no-op for big many-file corpora)
     payloads_ds = coalesce_small(payloads_ds, target_rows_per_block=64)
-    combined = payloads_ds.map_batches(
+    combined_pipe = payloads_ds.map_batches(
         conv, batch_format="pandas", batch_size=None
-    ).materialize()
-    encoded = combined.drop_columns(["diags"])
+    )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows: list = []
@@ -96,7 +103,32 @@ def convert_corpus(
                 rows.extend(tuple(r) for r in json.loads(cell))
         return pd.DataFrame(rows, columns=vd.DIAG_COLUMNS)
 
-    diags = combined.select_columns(["diags"]).map_batches(
+    if checkpoint_dir is None:
+        combined = combined_pipe.materialize()
+        encoded = combined.drop_columns(["diags"])
+        diags_src = combined.select_columns(["diags"])
+    else:
+        import os
+
+        import ray.data as rd
+
+        marker = os.path.join(checkpoint_dir, "_SUCCESS")
+        if not os.path.exists(marker):
+            import shutil
+
+            tmp = checkpoint_dir.rstrip("/") + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)  # leftover from a crashed attempt
+            combined_pipe.write_parquet(tmp)
+            if os.path.exists(checkpoint_dir):
+                shutil.rmtree(checkpoint_dir)
+            os.replace(tmp, checkpoint_dir)
+            open(marker, "w").close()
+        encoded = rd.read_parquet(
+            checkpoint_dir, columns=["activity_id", "fmt", "bytes", "n_errors"]
+        )
+        diags_src = rd.read_parquet(checkpoint_dir, columns=["diags"])
+    diags = diags_src.map_batches(
         explode, batch_format="pandas", batch_size=None
     )
     return encoded, diags

@@ -939,9 +939,15 @@ def _embedding_query_vector(sf_dir: str) -> np.ndarray:
 
 
 def q_minhash_dupes(sf_dir: str):
-    """MinHash+LSH near-dup clusters over documents (rows-only: LSH
-    isn't SQL-expressible; planted-corpus + brute-force-oracle tests
-    in tests/test_dedup_ann.py)."""
+    """MinHash+LSH near-dup clusters over documents. Oracled (NEW in
+    r3): LSH only PROPOSES — the output is exactly-verified Jaccard ≥
+    0.8 pairs, and at 32 bands × 4 rows the miss probability at the
+    threshold is (1−0.8⁴)³² ≈ 5·10⁻⁸, so the clusters equal the
+    all-pairs exact-Jaccard ground truth, which IS SQL: tokenize →
+    3-token shingles → set intersection join → Jaccard filter →
+    transitive closure (recursive CTE) for min-member cluster ids
+    (``SQL_MINHASH_CLUSTERS``). Brute-force equivalence is ALSO
+    pytest-pinned (tests/test_dedup_ann.py)."""
     from . import dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -951,14 +957,69 @@ def q_minhash_dupes(sf_dir: str):
 
 def q_minhash_dupes_distcc(sf_dir: str):
     """MinHash near-dup clusters with the DISTRIBUTED
-    connected-components assembly (alternating-star groupby passes —
-    dedup.cluster_pairs_distributed) instead of the driver union-find;
-    rows-only, pytest-proven equal to the union-find labels."""
+    connected-components assembly (alternating-star passes —
+    dedup.cluster_pairs_distributed) instead of the driver union-find.
+    Both assemblies label clusters by their MIN member, so the same
+    exact-Jaccard closure SQL oracles this one too (NEW in r3)."""
     from . import dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     _clusters, pairs = dedup.minhash_dedup(ds, threshold=0.8)
     return dedup.cluster_pairs_distributed(pairs[["a", "b"]])
+
+
+# Exact-Jaccard ground truth for the MinHash clusters: whitespace
+# tokens (regexp \s+ == str.split), k=3 shingles joined with \x01
+# (short docs: the whole token sequence as one shingle — the
+# shingle_set(<k tokens) semantics), DISTINCT per doc, pair Jaccard
+# via shared-shingle join, clusters via symmetric transitive closure
+# labeled by component MIN (== union-find min-root).
+SQL_MINHASH_CLUSTERS = r"""
+WITH RECURSIVE
+raw_toks AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS p
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(text, '\s+')) AS tok,
+           unnest(range(1, len(regexp_split_to_array(text, '\s+')) + 1)) AS ord
+    FROM documents
+  ) WHERE tok <> ''
+),
+ntoks AS (SELECT doc_id, MAX(p) AS nt FROM raw_toks GROUP BY doc_id),
+sh3 AS (
+  SELECT t1.doc_id, t1.tok || chr(1) || t2.tok || chr(1) || t3.tok AS sh
+  FROM raw_toks t1
+  JOIN raw_toks t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
+  JOIN raw_toks t3 ON t3.doc_id = t1.doc_id AND t3.p = t1.p + 2
+),
+short_sh AS (
+  SELECT r.doc_id, string_agg(r.tok, chr(1) ORDER BY r.p) AS sh
+  FROM raw_toks r JOIN ntoks n ON n.doc_id = r.doc_id AND n.nt < 3
+  GROUP BY r.doc_id
+),
+sets AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, sh FROM sh3 UNION ALL SELECT doc_id, sh FROM short_sh)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS icnt
+  FROM sets s1 JOIN sets s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+  WHERE CAST(i.icnt AS DOUBLE) / (za.n + zb.n - i.icnt) >= 0.8
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(n, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.n, e.v FROM reach JOIN edges e ON reach.r = e.u
+)
+SELECT n AS doc_id, LEAST(MIN(r), n) AS cluster_id FROM reach GROUP BY n
+"""
 
 
 def q_simhash_dupes(sf_dir: str):
@@ -1483,6 +1544,26 @@ def q_image_phash_dedup(sf_dir: str):
     return grouped[["image_id", "n_copies"]]
 
 
+def _sql_image_phash_dedup() -> str:
+    """Generated SQL oracle (NEW in r3; the `convex_pip_sql_expr`
+    single-source rule): the same deterministic fixture's
+    (image_id, phash) rows are embedded as VALUES and DuckDB redoes
+    the groupby-first — the aggregate is hash-checked, not just
+    row-counted. LAZY (callable in the registry): building the 200
+    fixture images costs ~0.8 s, too slow for module import."""
+    from .. import fixtures
+
+    t = fixtures.make_images(200, seed=42)
+    rows = ", ".join(
+        f"({p}, '{i}')"
+        for i, p in zip(t["image_id"].to_pylist(), t["phash"].to_pylist())
+    )
+    return (
+        "SELECT MIN(image_id) AS image_id, CAST(COUNT(*) AS BIGINT) AS n_copies "
+        f"FROM (VALUES {rows}) AS imgs(phash, image_id) GROUP BY phash"
+    )
+
+
 def q_distinct_counts(sf_dir: str):
     """Global distinct counts (O-set coverage: unique/distinct as the
     groupby-size pattern) — single-row output."""
@@ -1638,8 +1719,8 @@ QUERIES: dict[str, tuple] = {
     "fit_extra_roundtrip": (q_fit_extra_roundtrip, SQL_FIT_EXTRA_ROUNDTRIP),
     "embed_axis_topk": (q_embed_axis_topk, SQL_EMBED_AXIS_TOPK),
     "embed_cosine_topk": (q_embed_cosine_topk, None),
-    "minhash_dupes": (q_minhash_dupes, None),
-    "minhash_dupes_distcc": (q_minhash_dupes_distcc, None),
+    "minhash_dupes": (q_minhash_dupes, SQL_MINHASH_CLUSTERS),
+    "minhash_dupes_distcc": (q_minhash_dupes_distcc, SQL_MINHASH_CLUSTERS),
     "simhash_dupes": (q_simhash_dupes, None),
     "embed_near_dup": (q_embed_near_dup, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
@@ -1656,8 +1737,16 @@ QUERIES: dict[str, tuple] = {
     "type_value_extremes": (q_type_value_extremes, SQL_TYPE_VALUE_EXTREMES),
     "order_status_priority": (q_order_status_priority, SQL_ORDER_STATUS_PRIORITY),
     "knn3_poi": (q_knn3_poi, SQL_KNN3_POI),
-    "image_phash_dedup": (q_image_phash_dedup, None),
+    "image_phash_dedup": (q_image_phash_dedup, _sql_image_phash_dedup),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "global_ts_window": (q_global_ts_window, SQL_GLOBAL_TS_WINDOW),
     "pip_grid_counts": (q_pip_grid_counts, SQL_PIP_GRID_COUNTS),
 }
+
+
+def resolve_sql(sql):
+    """Registry SQL entries are strings or LAZY builders (callables —
+    used when generating the SQL needs expensive fixture work, e.g.
+    `_sql_image_phash_dedup`). Consumers (driver `oracle_sql()`,
+    oracle tests) resolve through this."""
+    return sql() if callable(sql) else sql

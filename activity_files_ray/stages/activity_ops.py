@@ -100,6 +100,101 @@ def merge_activities(
     return out
 
 
+def merge_full(
+    activities: list[dict],
+    new_id: str = "merged",
+    preserve_sport_per_lap: bool = False,
+    normalize: bool = True,
+    creator: str | None = None,
+) -> dict:
+    """O5, full form (``facade:751-803``): n-way union of ALL SIX
+    collections — points, channels, laps, sets, events, lengths (the
+    four span kinds live in one ``spans`` table here, ``kind`` column)
+    — not just points. Each input: ``{"points": df, "channels": df,
+    "spans": df, "sport": str|None, "creator": str|None}`` (missing
+    tables = empty).
+
+    Reference semantics: sources are flattened first
+    (``flattened()``); ``preserve_sport_per_lap`` stamps the SOURCE
+    activity's sport onto its laps that lack one, so per-lap sport
+    survives a multi-sport merge (``facade:787-792``, exercised by
+    ``test/integration/multi_sport_test.dart``); activity-level sport/
+    creator/device come from the FIRST source; ``normalize`` applies
+    the sort + last-wins-dedup invariant to the merged streams."""
+    if not activities:
+        raise ValueError(
+            "Cannot merge activities: the input list is empty. "
+            "Provide at least one activity."
+        )
+
+    def _tbl(a: dict, key: str) -> pd.DataFrame:
+        t = a.get(key)
+        return t if t is not None and len(t) else pd.DataFrame()
+
+    if len(activities) == 1:
+        return dict(activities[0])
+
+    pts_frames, ch_frames, span_frames = [], [], []
+    for a in activities:
+        p = _tbl(a, "points")
+        if len(p):
+            pts_frames.append(flatten_tracks(p))
+        c = _tbl(a, "channels")
+        if len(c):
+            ch_frames.append(c)
+        s = _tbl(a, "spans")
+        if len(s):
+            s = s.copy()
+            if preserve_sport_per_lap and "kind" in s.columns and "sport" in s.columns:
+                is_lap = (s["kind"] == "lap").to_numpy()
+                no_sport = s["sport"].isna().to_numpy() | (s["sport"] == "").to_numpy()
+                s.loc[is_lap & no_sport, "sport"] = a.get("sport")
+            span_frames.append(s)
+
+    points = (
+        pd.concat(pts_frames, ignore_index=True) if pts_frames else pd.DataFrame()
+    )
+    if len(points):
+        points["activity_id"] = new_id
+        if normalize:
+            points = points.sort_values("ts_us", kind="mergesort")
+            points = points[~points["ts_us"].duplicated(keep="last")]
+        points = points.reset_index(drop=True)
+        if "seq" in points.columns:
+            points["seq"] = np.arange(len(points), dtype=np.int32)
+
+    channels = (
+        pd.concat(ch_frames, ignore_index=True) if ch_frames else pd.DataFrame()
+    )
+    if len(channels):
+        channels["activity_id"] = new_id
+        if normalize:
+            channels = channels.sort_values(
+                ["channel", "ts_us"], kind="mergesort"
+            )
+            channels = channels[
+                ~channels.duplicated(["channel", "ts_us"], keep="last")
+            ]
+        channels = channels.reset_index(drop=True)
+
+    spans = (
+        pd.concat(span_frames, ignore_index=True) if span_frames else pd.DataFrame()
+    )
+    if len(spans):
+        spans["activity_id"] = new_id
+        spans = spans.reset_index(drop=True)  # source order, like the reference
+
+    first = activities[0]
+    return {
+        "points": points,
+        "channels": channels,
+        "spans": spans,
+        "sport": first.get("sport"),
+        "creator": creator if creator is not None else first.get("creator"),
+        "device": first.get("device"),
+    }
+
+
 def split_by_sport(
     points: pd.DataFrame, spans: pd.DataFrame
 ) -> pd.DataFrame:

@@ -52,7 +52,7 @@ def test_query_matches_oracle(name, oracle_con):
     fn, sql = q.QUERIES[name]
     res = fn(SF_DIR)
     mine = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
-    ref = oracle_con.execute(sql).df()
+    ref = oracle_con.execute(q.resolve_sql(sql)).df()
     assert len(mine) == len(ref), f"{name}: rows {len(mine)} != {len(ref)}"
     assert sorted(mine.columns) == sorted(ref.columns), (
         f"{name}: cols {sorted(mine.columns)} != {sorted(ref.columns)}"
@@ -112,7 +112,7 @@ def test_query_matches_oracle_sf01(name):
     fn, sql = q.QUERIES[name]
     res = fn(big)
     mine = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
-    ref = con.execute(sql).df()
+    ref = con.execute(q.resolve_sql(sql)).df()
     assert len(mine) == len(ref)
     a, b = _normalize(mine.copy()), _normalize(ref.copy())
     for c in a.columns:
