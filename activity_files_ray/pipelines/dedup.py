@@ -165,13 +165,29 @@ _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 _BIT_VALUES = (np.uint64(1) << _BIT_SHIFTS)
 
 
+def _md5_64_many(tokens: list[str]) -> np.ndarray:
+    """64-bit token hash = TOP 8 BYTES OF MD5 (big-endian). Chosen
+    over FNV for simhash (r3) because DuckDB's ``md5()`` recomputes it
+    exactly (``('0x' || substr(md5(tok),1,16))::UBIGINT``), making the
+    FULL simhash LSH path — fingerprints, band buckets, Hamming
+    verify, clusters — SQL-oracle-checkable, not just rows-only."""
+    import hashlib
+
+    n = len(tokens)
+    out = np.empty(n, dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        out[i] = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+    return out
+
+
 def simhash64(text: str) -> int:
     """Charikar 64-bit SimHash over whitespace tokens (vectorized:
-    one (tokens × 64) bit matrix per document, no per-token loop)."""
+    one (tokens × 64) bit matrix per document, no per-token bit loop;
+    token hashes are MD5-derived — see :func:`_md5_64_many`)."""
     toks = text.split()
     if not toks:
         return 0
-    th = _fnv1a64_many(toks)
+    th = _md5_64_many(toks)
     bits = (th[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = _BIT_VALUES[acc > 0].sum(dtype=np.uint64)

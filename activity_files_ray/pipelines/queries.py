@@ -1023,12 +1023,73 @@ SELECT n AS doc_id, LEAST(MIN(r), n) AS cluster_id FROM reach GROUP BY n
 
 
 def q_simhash_dupes(sf_dir: str):
-    """SimHash near-dup clusters over documents (rows-only)."""
+    """SimHash near-dup clusters over documents. FULLY oracled (NEW
+    in r3): token hashes are MD5-top-64 (``dedup._md5_64_many``),
+    which DuckDB recomputes bit-exactly, so ``SQL_SIMHASH_CLUSTERS``
+    replays the ENTIRE path — fingerprints, 4×16-bit band buckets
+    (incl. the 2..64 bucket cap), Hamming ≤ 3 verify, min-member
+    closure — not just the ground truth."""
     from . import dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     clusters, _pairs = dedup.simhash_dedup(ds, max_hamming=3)
     return clusters
+
+
+# Exact SQL replay of simhash_dedup(max_hamming=3, bands=4): same MD5
+# token hashes, same ±1 bit votes, same band buckets and cap, same
+# Hamming verify, same min-member cluster labels.
+SQL_SIMHASH_CLUSTERS = r"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+    FROM documents) WHERE tok <> ''
+),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS h FROM toks),
+bits AS (
+  SELECT t.doc_id, b.b AS b,
+         SUM(CASE WHEN ((t.h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th t, (SELECT unnest(range(0,64)) AS b) b
+  GROUP BY t.doc_id, b.b
+),
+fps0 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)
+              AS UBIGINT) AS fp
+  FROM bits GROUP BY doc_id
+),
+fps AS (
+  SELECT d.doc_id, COALESCE(f.fp, 0::UBIGINT) AS fp
+  FROM documents d LEFT JOIN fps0 f ON f.doc_id = d.doc_id
+),
+bands AS (
+  SELECT doc_id, b.i AS band, (fp >> CAST(b.i*16 AS UBIGINT)) & 65535::UBIGINT AS bv
+  FROM fps, (SELECT unnest(range(0,4)) AS i) b
+),
+bucket_sizes AS (
+  SELECT band, bv, COUNT(DISTINCT doc_id) AS n FROM bands GROUP BY band, bv
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM bands b1
+  JOIN bands b2 ON b1.band = b2.band AND b1.bv = b2.bv AND b1.doc_id < b2.doc_id
+  JOIN bucket_sizes s ON s.band = b1.band AND s.bv = b1.bv AND s.n BETWEEN 2 AND 64
+),
+pairs AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN fps fa ON fa.doc_id = c.a
+  JOIN fps fb ON fb.doc_id = c.b
+  WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(n, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.n, e.v FROM reach JOIN edges e ON reach.r = e.u
+)
+SELECT n AS doc_id, LEAST(MIN(r), n) AS cluster_id FROM reach GROUP BY n
+"""
 
 
 def q_embed_near_dup(sf_dir: str):
@@ -1721,7 +1782,7 @@ QUERIES: dict[str, tuple] = {
     "embed_cosine_topk": (q_embed_cosine_topk, None),
     "minhash_dupes": (q_minhash_dupes, SQL_MINHASH_CLUSTERS),
     "minhash_dupes_distcc": (q_minhash_dupes_distcc, SQL_MINHASH_CLUSTERS),
-    "simhash_dupes": (q_simhash_dupes, None),
+    "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_CLUSTERS),
     "embed_near_dup": (q_embed_near_dup, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "ann_ivf_partitioned": (q_ann_ivf_partitioned, None),

@@ -371,16 +371,33 @@ def probe_salt_factor(
     """Choose the salting factor from a cheap count probe (SURVEY.md
     §4.2: "choose S from a cheap groupby(cell9).count() probe"): if
     the hottest key holds more than ``hot_threshold`` of all rows,
-    salt it into ~hot_share/threshold sub-keys (clamped)."""
+    salt it into ~hot_share/threshold sub-keys (clamped).
+
+    The probe only needs (total, hottest) — the per-key counts run
+    the distributed bucketed plan and the driver folds one tiny
+    (sum, max) row per block, never the key-per-row count table."""
+    import pandas as pd
+
     from ..pipelines import agg
 
-    counts = agg.tree_aggregate(
+    counts = agg.bucketed_aggregate(
         ds.select_columns([key_col]), [key_col], {"n": ("", "count")}
     )
-    if counts.empty:
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"total": [0], "hot": [0]})
+        return pd.DataFrame(
+            {"total": [int(df["n"].sum())], "hot": [int(df["n"].max())]}
+        )
+
+    parts = counts.map_batches(
+        fold, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if parts.empty:
         return 1
-    total = int(counts["n"].sum())
-    hot = int(counts["n"].max())
+    total = int(parts["total"].sum())
+    hot = int(parts["hot"].max())
     share = hot / max(total, 1)
     if share <= hot_threshold:
         return 1
