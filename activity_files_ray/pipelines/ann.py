@@ -48,6 +48,60 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_multi(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k for a whole QUERY MATRIX in one corpus pass
+    (the task brief's baseline shape: "numpy matmul per batch against
+    a broadcast query matrix"). One (batch × queries) matmul per
+    batch, per-(query, batch) top-k partials, tiny driver merge.
+    Returns long-form (query_idx, id, cos, rank) with rank 1-based
+    and the same (−cos, id) deterministic tie-break as the
+    single-query path — ``query_idx`` row i maps to ``queries[i]``.
+
+    Scale: the query matrix is closure-captured once per worker (a
+    broadcast small side); corpus passes stay at ONE regardless of
+    query count, versus m passes for m single-query calls."""
+    qm = np.asarray(queries, dtype=np.float64)
+    if qm.ndim == 1:
+        qm = qm[None, :]
+    qn = np.linalg.norm(qm, axis=1) + 1e-30
+    m = len(qm)
+
+    def batch_topk(df: pd.DataFrame) -> pd.DataFrame:
+        emb = _as_matrix(df[vec_col])
+        ids = df[id_col].to_numpy()
+        cos = (emb @ qm.T) / (np.linalg.norm(emb, axis=1)[:, None] * qn[None, :] + 1e-30)
+        kk = min(k, len(ids))
+        # per-query top-k in one argpartition over the column axis
+        top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk × m)
+        qi = np.repeat(np.arange(m), kk)
+        ri = top.T.ravel()
+        return pd.DataFrame(
+            {"query_idx": qi, id_col: ids[ri], "cos": cos[ri, qi]}
+        )
+
+    parts = ds.map_batches(
+        batch_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    out = (
+        parts.sort_values(
+            ["query_idx", "cos", id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .groupby("query_idx", as_index=False, group_keys=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_idx").cumcount() + 1
+    return out
+
+
 def kmeans_fit(
     sample: np.ndarray, n_clusters: int = 16, n_iter: int = 10, seed: int = 42
 ) -> np.ndarray:

@@ -367,3 +367,39 @@ class TestDistCCDatasetNative:
         out = dedup.cluster_pairs_distributed(pairs)
         by_doc = dict(zip(out["doc_id"], out["cluster_id"]))
         assert by_doc == {"d1": "d1", "d2": "d1", "d3": "d1", "d8": "d8", "d9": "d8"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBruteForceMultiQuery:
+    def test_multi_equals_per_query(self):
+        import ray.data as rd
+
+        from activity_files_ray.pipelines import ann
+
+        rng = np.random.default_rng(17)
+        vecs = rng.standard_normal((300, 12))
+        df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(vecs)})
+        ds = rd.from_pandas(df).repartition(5)
+        queries = rng.standard_normal((4, 12))
+        multi = ann.brute_force_topk_multi(ds, queries, k=7)
+        assert list(multi.columns) == ["query_idx", "vec_id", "cos", "rank"]
+        for qi in range(4):
+            single = ann.brute_force_topk(ds, queries[qi], k=7)
+            part = multi[multi["query_idx"] == qi].reset_index(drop=True)
+            assert part["vec_id"].tolist() == single["vec_id"].tolist()
+            np.testing.assert_allclose(part["cos"], single["cos"])
+            assert part["rank"].tolist() == list(range(1, 8))
+
+    def test_single_vector_input(self):
+        import ray.data as rd
+
+        from activity_files_ray.pipelines import ann
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((50, 8))
+        ds = rd.from_pandas(
+            pd.DataFrame({"vec_id": np.arange(50), "embedding": list(vecs)})
+        )
+        out = ann.brute_force_topk_multi(ds, vecs[0], k=3)
+        assert set(out["query_idx"]) == {0}
+        assert out["vec_id"].iloc[0] == 0  # self is its own nearest
