@@ -195,6 +195,84 @@ def merge_full(
     }
 
 
+def split_by_sport_full(
+    activity: dict,
+    normalize: bool = True,
+) -> dict:
+    """O6, full form (``facade:832-911``): split one activity into
+    per-sport ACTIVITIES — points, channels and laps each filtered to
+    the sport's lap time range — not just sport-stamped points
+    (:func:`split_by_sport` remains the point-level columnar form).
+
+    Reference semantics: laps without an explicit sport group under
+    the activity's overall sport; no laps → whole activity under its
+    sport; a single sport → returned as-is; per sport, the time range
+    is [min lap start, max lap end] INCLUSIVE on both ends, channels
+    that end up empty are dropped, laps are stripped of their sport
+    field, activity-level creator/device carry over, and ``normalize``
+    re-applies sort + last-wins dedup. Returns {sport: activity dict}.
+    """
+    points = activity.get("points")
+    channels = activity.get("channels")
+    spans = activity.get("spans")
+    overall = activity.get("sport")
+    points = points if points is not None else pd.DataFrame()
+    channels = channels if channels is not None else pd.DataFrame()
+    spans = spans if spans is not None else pd.DataFrame()
+    laps = (
+        spans[spans["kind"] == "lap"]
+        if len(spans) and "kind" in spans.columns
+        else spans
+    )
+    if not len(laps):
+        return {overall: dict(activity)}
+    lap_sport = (
+        laps["sport"].where(laps["sport"].notna() & (laps["sport"] != ""), overall)
+        if "sport" in laps.columns
+        else pd.Series([overall] * len(laps), index=laps.index)
+    )
+    sports = list(dict.fromkeys(lap_sport))
+    if len(sports) == 1:
+        return {sports[0]: dict(activity)}
+
+    out: dict = {}
+    for sport in sports:
+        sl = laps[(lap_sport == sport).to_numpy()]
+        t0 = int(sl["start_us"].min())
+        t1 = int(sl["end_us"].max())
+        pts = points
+        if len(points):
+            m = (points["ts_us"] >= t0) & (points["ts_us"] <= t1)
+            pts = points[m].reset_index(drop=True)
+            if normalize and len(pts):
+                pts = pts.sort_values("ts_us", kind="mergesort")
+                pts = pts[~pts["ts_us"].duplicated(keep="last")].reset_index(drop=True)
+                if "seq" in pts.columns:
+                    pts["seq"] = np.arange(len(pts), dtype=np.int32)
+        ch = channels
+        if len(channels):
+            m = (channels["ts_us"] >= t0) & (channels["ts_us"] <= t1)
+            ch = channels[m].reset_index(drop=True)
+            if normalize and len(ch):
+                ch = ch.sort_values(["channel", "ts_us"], kind="mergesort")
+                ch = ch[~ch.duplicated(["channel", "ts_us"], keep="last")]
+                ch = ch.reset_index(drop=True)
+        # laps keep all metadata but lose their per-lap sport
+        # (lap.copyWithoutSport — the split activity owns the sport)
+        sl = sl.copy()
+        if "sport" in sl.columns:
+            sl["sport"] = None
+        out[sport] = {
+            "points": pts,
+            "channels": ch,
+            "spans": sl.reset_index(drop=True),
+            "sport": sport,
+            "creator": activity.get("creator"),
+            "device": activity.get("device"),
+        }
+    return out
+
+
 def split_by_sport(
     points: pd.DataFrame, spans: pd.DataFrame
 ) -> pd.DataFrame:

@@ -526,3 +526,66 @@ class TestMergeFull:
         assert m["creator"] == "my_app"
         laps = m["spans"][m["spans"]["kind"] == "lap"]
         assert laps["sport"].isna().all()  # preserve flag off
+
+
+class TestSplitBySportFull:
+    """facade:832-911 parity: split returns full ACTIVITIES (points,
+    channels, laps filtered to the sport's lap range)."""
+
+    def test_triathlon_roundtrip_with_merge_full(self):
+        mk = TestMergeFull._act
+        swim = mk("swim", "swimming", 0)
+        bike = mk("bike", "cycling", 100_000_000)
+        run = mk("run", "running", 200_000_000)
+        merged = ops.merge_full(
+            [swim, bike, run], new_id="tri", preserve_sport_per_lap=True
+        )
+        splits = ops.split_by_sport_full(merged)
+        assert set(splits) == {"swimming", "cycling", "running"}
+        for src, sport in ((swim, "swimming"), (bike, "cycling"), (run, "running")):
+            got = splits[sport]
+            assert got["sport"] == sport
+            assert got["points"]["ts_us"].tolist() == src["points"]["ts_us"].tolist()
+            assert got["channels"]["value"].tolist() == src["channels"]["value"].tolist()
+            laps = got["spans"][got["spans"]["kind"] == "lap"]
+            assert len(laps) == 1
+            assert laps["sport"].isna().all()  # copyWithoutSport
+            assert got["creator"] == "dev-swim"  # first source's creator carried
+
+    def test_no_laps_returns_whole_activity(self):
+        a = {"points": _pts([0, 10]), "channels": pd.DataFrame(),
+             "spans": pd.DataFrame(), "sport": "running"}
+        out = ops.split_by_sport_full(a)
+        assert set(out) == {"running"}
+        assert out["running"]["points"] is a["points"]
+
+    def test_single_sport_returned_as_is(self):
+        spans = pd.DataFrame(
+            {"activity_id": ["a"], "kind": ["lap"], "start_us": [0],
+             "end_us": [10], "sport": [None]}
+        )
+        a = {"points": _pts([0, 10]), "channels": pd.DataFrame(),
+             "spans": spans, "sport": "cycling"}
+        out = ops.split_by_sport_full(a)
+        assert set(out) == {"cycling"}  # sportless lap groups under overall
+
+    def test_inclusive_range_and_empty_channel_drop(self):
+        pts = _pts([0, 10, 20, 30])
+        ch = pd.DataFrame(
+            {"activity_id": ["a"] * 2, "channel": ["hr", "hr"],
+             "ts_us": np.asarray([5, 25], dtype=np.int64), "value": [1.0, 2.0]}
+        )
+        spans = pd.DataFrame(
+            {"activity_id": ["a", "a"], "kind": ["lap", "lap"],
+             "start_us": [0, 20], "end_us": [10, 30],
+             "sport": ["swimming", "running"]}
+        )
+        out = ops.split_by_sport_full(
+            {"points": pts, "channels": ch, "spans": spans, "sport": "x"}
+        )
+        sw = out["swimming"]
+        assert sw["points"]["ts_us"].tolist() == [0, 10]  # inclusive both ends
+        assert sw["channels"]["value"].tolist() == [1.0]
+        rn = out["running"]
+        assert rn["points"]["ts_us"].tolist() == [20, 30]
+        assert rn["channels"]["value"].tolist() == [2.0]
