@@ -323,6 +323,106 @@ def _tree_to_xml(tree: dict, parent_ns: str | None = None) -> str:
     return f"<{tag}{attrs}>{inner}</{tag}>" if inner else f"<{tag}{attrs}/>"
 
 
+# --- extension-node builders (facade:913-1010) ------------------------------
+
+# the reference's default namespace for its own extension vocabulary
+GPX_DEFAULT_EXT_NAMESPACE = "https://schemas.activityfiles.dev/extensions"
+
+
+def gpx_activity_label_node(
+    label: str,
+    namespace_uri: str | None = None,
+    attributes: dict | None = None,
+) -> dict:
+    """``gpxActivityLabelNode`` analog (facade:913-925): an
+    ``<activity>label</activity>`` extension tree in the reference's
+    extension namespace. Prefixes are serialization detail in this
+    engine's tree model (URI-only, see :func:`_node_to_tree`), so
+    there is no prefix parameter. Feed the result to
+    ``encode_gpx(meta_ext=[...])`` / ``trk_ext``."""
+    out: dict = {
+        "tag": "activity",
+        "ns": namespace_uri or GPX_DEFAULT_EXT_NAMESPACE,
+        "text": label,
+    }
+    if attributes:
+        out["attrs"] = {str(k): str(v) for k, v in attributes.items()}
+    return out
+
+
+_DEVICE_CHILD_ORDER = (
+    ("manufacturer", "manufacturer"),
+    ("model", "model"),
+    ("product", "product"),
+    ("serialNumber", "serial_number"),
+    ("softwareVersion", "software_version"),
+    ("fitManufacturerId", "fit_manufacturer_id"),
+    ("fitProductId", "fit_product_id"),
+)
+
+
+def _device_children(metadata: dict, uri: str, extras: dict | None) -> list:
+    """facade:974-1010 child order; None/blank values skipped;
+    datetimes ISO-8601 UTC."""
+    import datetime as _dtm
+
+    kids: list = []
+
+    def add(name: str, value) -> None:
+        if value is None:
+            return
+        text = (
+            value.astimezone(_dtm.timezone.utc).isoformat().replace("+00:00", "Z")
+            if isinstance(value, _dtm.datetime) and value.tzinfo is not None
+            else value.isoformat() + "Z"
+            if isinstance(value, _dtm.datetime)
+            else str(value)
+        )
+        if not text.strip():
+            return
+        kids.append({"tag": name, "ns": uri, "text": text})
+
+    for tag, key in _DEVICE_CHILD_ORDER:
+        add(tag, metadata.get(key, metadata.get(tag)))
+    for k, v in (extras or {}).items():
+        add(str(k), v)
+    return kids
+
+
+def gpx_device_node(
+    metadata: dict,
+    namespace_uri: str | None = None,
+    attributes: dict | None = None,
+    extras: dict | None = None,
+) -> dict:
+    """``gpxDeviceNode`` analog (facade:928-948): a ``<device>`` tree
+    whose children carry the device metadata fields (snake_case or
+    reference-camelCase keys accepted)."""
+    uri = namespace_uri or GPX_DEFAULT_EXT_NAMESPACE
+    out: dict = {"tag": "device", "ns": uri}
+    if attributes:
+        out["attrs"] = {str(k): str(v) for k, v in attributes.items()}
+    kids = _device_children(metadata, uri, extras)
+    if kids:
+        out["children"] = kids
+    return out
+
+
+def gpx_device_summary_node(
+    metadata: dict,
+    namespace_uri: str | None = None,
+    extras: dict | None = None,
+) -> dict:
+    """``gpxDeviceSummaryNode`` analog (facade:951-969):
+    ``<deviceSummary>`` tree with the same child layout."""
+    uri = namespace_uri or GPX_DEFAULT_EXT_NAMESPACE
+    out: dict = {"tag": "deviceSummary", "ns": uri}
+    kids = _device_children(metadata, uri, extras)
+    if kids:
+        out["children"] = kids
+    return out
+
+
 def _parse_simple_point(node) -> dict | None:
     """wpt / rtept: lat/lon attrs + optional ele/time/name children."""
     lat_s, lon_s = node.get("lat"), node.get("lon")

@@ -382,10 +382,17 @@ def run_scaling() -> dict:
         pairs.append((eff, lo, hi))
     effs = [round(e, 3) for e, _lo, _hi in pairs]
     best_eff, lo, hi = max(pairs, key=lambda p: p[0])
+    srt = sorted(e for e, _lo, _hi in pairs)
+    median = (
+        srt[len(srt) // 2]
+        if len(srt) % 2
+        else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
+    )
     return {
         "metric": "scaling_efficiency",
         "value": round(best_eff, 3),
         "unit": "ratio",
+        "median_efficiency": round(median, 3),
         "pair_efficiencies": effs,
         "sec_lo": lo["value"],
         "sec_hi": hi["value"],

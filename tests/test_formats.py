@@ -1589,3 +1589,59 @@ class TestNearestJoinTieBreak:
         sv = np.array([1.0, 2.0])
         out = gpx.nearest_join(pt, st, sv, tolerance_us=5_000_000)
         assert out[0] == 2.0
+
+
+class TestGpxExtensionNodeBuilders:
+    """facade:913-1010 analogs: label / device / deviceSummary
+    builders produce ext trees that encode + reparse losslessly."""
+
+    def test_label_node_roundtrip(self):
+        import json
+
+        from activity_files_ray import fixtures
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        node = gpx.gpx_activity_label_node("Morning Ride", attributes={"kind": "tag"})
+        assert node["ns"] == gpx.GPX_DEFAULT_EXT_NAMESPACE
+        payload = gpx.encode_gpx(pts, None, meta_ext=[node])
+        parsed = gpx.parse_gpx(payload, "a1")
+        got = json.loads(parsed.metadata["gpx_meta_ext"])[0]
+        assert got["tag"] == "activity" and got["text"] == "Morning Ride"
+        assert got["attrs"]["kind"] == "tag"
+        assert got["ns"] == gpx.GPX_DEFAULT_EXT_NAMESPACE
+
+    def test_device_node_children_order_and_skips(self):
+        import datetime as dtm
+
+        node = gpx.gpx_device_node(
+            {
+                "manufacturer": "garmin",
+                "model": "edge",
+                "serial_number": 123,
+                "software_version": None,  # skipped
+                "fit_manufacturer_id": 1,
+            },
+            extras={"calibrated": dtm.datetime(2024, 1, 2, 3, 4, 5)},
+        )
+        tags = [c["tag"] for c in node["children"]]
+        # reference child order: manufacturer, model, product,
+        # serialNumber, softwareVersion, fitManufacturerId,
+        # fitProductId, then extras
+        assert tags == ["manufacturer", "model", "serialNumber",
+                        "fitManufacturerId", "calibrated"]
+        assert node["children"][-1]["text"] == "2024-01-02T03:04:05Z"
+
+    def test_device_summary_roundtrip(self):
+        import json
+
+        from activity_files_ray import fixtures
+
+        pts = fixtures.canonical_trackpoints().to_pandas()
+        pts["ts_us"] = pts["ts_us"].astype("int64")
+        node = gpx.gpx_device_summary_node({"manufacturer": "wahoo", "model": "bolt"})
+        payload = gpx.encode_gpx(pts, None, trk_ext=[node])
+        parsed = gpx.parse_gpx(payload, "a1")
+        got = json.loads(parsed.metadata["gpx_trk_ext"])[0]
+        assert got["tag"] == "deviceSummary"
+        assert [c["text"] for c in got["children"]] == ["wahoo", "bolt"]
