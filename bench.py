@@ -122,6 +122,15 @@ def run_bench() -> dict:
     rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
         q._warm, batch_format="pyarrow", batch_size=1
     ).count()
+    # first use of a sort-shuffle (groupby) pipeline in a session
+    # costs ~1-2 s regardless of data size — exercise it untimed with
+    # a 1k-row aggregate so the timed flagship/cell_counts measure
+    # the plan, not Ray's shuffle-machinery spin-up
+    from activity_files_ray.pipelines import agg as _agg
+
+    _agg.bucketed_aggregate(
+        rd.range(1000), ["id"], {"n": ("", "count")}
+    ).count()
     # first use of a repartition+materialize pipeline in a session
     # costs ~0.5 s regardless of data size — exercise it untimed with
     # a 4-row corpus so the timed convert measures convert
