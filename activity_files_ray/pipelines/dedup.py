@@ -15,9 +15,16 @@ banded LSH). Ray-Data-first shape:
   pairs (tested);
 * candidate pairs are VERIFIED with the exact measure (Jaccard on
   shingle sets / Hamming on simhash / cosine on vectors) — LSH only
-  proposes;
+  proposes. On the shuffle paths verification runs IN-CLUSTER:
+  simhash/embedding inside the band-bucket groupby itself (the
+  carried fingerprint/vector is already co-located), minhash via a
+  pair-join of serialized shingle sketches
+  (:func:`_verify_jaccard_distributed`) — the driver holds candidate
+  id pairs, never texts;
 * clusters = union-find over verified pairs (candidate graph is
-  tiny relative to the corpus by construction).
+  tiny relative to the corpus by construction), or the
+  Dataset-native :func:`cluster_pairs_distributed` when the cluster
+  graph is itself corpus-scale.
 """
 
 from __future__ import annotations
