@@ -30,7 +30,9 @@ from .gpx import DEFAULT_TOLERANCE_US, nearest_join
 from .model import ParsedActivity, iso_to_us, us_to_iso
 
 _TCX_SPORTS = {"running": "running", "biking": "cycling", "other": "other"}
-_SPORT_TO_TCX = {"running": "Running", "cycling": "Biking"}
+# tcx_encoder.dart:440-445: Running/Biking/Walking are the named TCX
+# sports; everything else (incl. swimming) encodes as "Other"
+_SPORT_TO_TCX = {"running": "Running", "cycling": "Biking", "walking": "Walking"}
 
 
 def _local(tag: str) -> str:

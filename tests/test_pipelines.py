@@ -589,3 +589,42 @@ class TestSplitBySportFull:
         rn = out["running"]
         assert rn["points"]["ts_us"].tolist() == [20, 30]
         assert rn["channels"]["value"].tolist() == [2.0]
+
+
+class TestTriathlonEndToEnd:
+    def test_tcx_roundtrip_then_split(self):
+        """Full multi-sport path through OUR stack: three single-sport
+        activities -> merge_full(preserve sport) -> TCX encode (multi
+        Activity) -> parse -> split_by_sport_full returns the three
+        sports with their own points (the reference's
+        multi_sport_test.dart flow)."""
+        # walking/cycling/running are the TCX-representable sports
+        # (tcx_encoder.dart:440-445; swimming honestly encodes Other)
+        mk = TestMergeFull._act
+        walk = mk("w", "walking", 0)
+        bike = mk("b", "cycling", 100_000_000)
+        run = mk("r", "running", 200_000_000)
+        merged = ops.merge_full(
+            [walk, bike, run], new_id="tri", preserve_sport_per_lap=True
+        )
+        laps = merged["spans"][merged["spans"]["kind"] == "lap"].reset_index(drop=True)
+        payload = tcx.encode_tcx(
+            merged["points"], None, laps, sport=merged["sport"]
+        )
+        parsed = stage.parse_payload(payload, "tri", "tcx")
+        # multi-activity TCX: per-lap sports survive the round trip
+        spans2 = parsed.spans_df()
+        pts2 = parsed.points_df()
+        assert len(pts2) == 9
+        lap_sports = spans2[spans2["kind"] == "lap"]["sport"].tolist()
+        assert lap_sports == ["walking", "cycling", "running"]
+        splits = ops.split_by_sport_full(
+            {"points": pts2, "channels": parsed.channels_df(),
+             "spans": spans2, "sport": parsed.sport}
+        )
+        assert set(splits) == {"walking", "cycling", "running"}
+        for src, sport in ((walk, "walking"), (bike, "cycling"), (run, "running")):
+            assert (
+                splits[sport]["points"]["ts_us"].tolist()
+                == src["points"]["ts_us"].tolist()
+            )
