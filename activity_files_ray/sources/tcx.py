@@ -29,7 +29,18 @@ import pandas as pd
 from .gpx import DEFAULT_TOLERANCE_US, nearest_join
 from .model import ParsedActivity, iso_to_us, us_to_iso
 
-_TCX_SPORTS = {"running": "running", "biking": "cycling", "other": "other"}
+# tcx_parser.dart:16-25 alias map; unknown labels fall through as
+# their lowercased raw value (reference falls back to sport mappers)
+_TCX_SPORTS = {
+    "running": "running",
+    "biking": "cycling",
+    "cycling": "cycling",
+    "bike": "cycling",
+    "swimming": "swimming",
+    "swim": "swimming",
+    "walking": "walking",
+    "other": "other",
+}
 # tcx_encoder.dart:440-445: Running/Biking/Walking are the named TCX
 # sports; everything else (incl. swimming) encodes as "Other"
 _SPORT_TO_TCX = {"running": "Running", "cycling": "Biking", "walking": "Walking"}
