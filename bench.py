@@ -118,7 +118,13 @@ def run_bench() -> dict:
     # first timed query doesn't absorb worker-process startup
     import ray.data as rd
 
-    rd.read_parquet(f"{SF_DIR}/events.parquet").count()
+    # a real data pass, not .count() — Ray answers count() from
+    # parquet METADATA, so it warms nothing: the first timed query
+    # would pay the first actual byte read
+    rd.read_parquet(f"{SF_DIR}/events.parquet").map_batches(
+        lambda t: t.select([t.column_names[0]]), batch_format="pyarrow",
+        batch_size=None,
+    ).count()
     rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
         q._warm, batch_format="pyarrow", batch_size=1
     ).count()
