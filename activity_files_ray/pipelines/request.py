@@ -43,6 +43,9 @@ class ConvertRequest:
     spans: pd.DataFrame | None = None
     # corpus-shape input (ray.data.Dataset of payload rows)
     corpus: Any = None
+    # corpus arm only: route the combined convert table through a
+    # parquet checkpoint (resumable fork) instead of .materialize()
+    checkpoint_dir: str | None = None
 
 
 def run_request(req: ConvertRequest):
@@ -56,7 +59,11 @@ def run_request(req: ConvertRequest):
         raise ValueError("exactly one of payload / points / corpus must be set")
     if req.corpus is not None:
         return cv.convert_corpus(
-            req.corpus, req.to_fmt, autofix=req.autofix, validate=req.validate
+            req.corpus,
+            req.to_fmt,
+            autofix=req.autofix,
+            validate=req.validate,
+            checkpoint_dir=req.checkpoint_dir,
         )
     if req.payload is not None:
         return cv.convert_one(
