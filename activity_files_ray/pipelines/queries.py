@@ -636,6 +636,80 @@ SELECT event_id, poi_partkey, dist2_cd FROM (
 """
 
 
+RADIUS_CD = 300.0  # range-join radius in centidegrees (3°)
+
+
+def q_radius_poi(sf_dir: str):
+    """RANGE JOIN (J8, NEW in r3): every (trackpoint, POI) pair within
+    a fixed radius — the all-matches sibling of the kNN join, via ONE
+    bounded cell-disk gather per point against the broadcast CSR index
+    (no iterative expansion: the radius bounds the disk up front,
+    ``knn.pois_within_radius``). Exact-integer centidegree metric ⇒
+    the cross-join-with-predicate SQL oracle matches bit-for-bit."""
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)
+    plat_cd, plon_cd = poi_latlon_cd(pk)
+    index = knn.PoiIndex(
+        pk, plat_cd / 100.0, plon_cd / 100.0, level=POI_INDEX_LEVEL,
+        metric_lat=plat_cd.astype(np.float64),
+        metric_lon=plon_cd.astype(np.float64),
+        metric_scale=100.0,
+    )
+    idx_ref = ray.put(index)
+
+    def subset(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy()
+        return b.filter(pa.array(e % KNN_SUBSET_MOD == 0))
+
+    pts = _derived_points_ds(sf_dir).map_batches(
+        subset, batch_format="pyarrow", batch_size=None
+    )
+    joined = pts.map_batches(
+        stages.radius_join_batch,
+        fn_kwargs={
+            "index_ref": idx_ref,
+            "r2": RADIUS_CD * RADIUS_CD,
+            "metric_lat_col": "lat_cd",
+            "metric_lon_col": "lon_cd",
+        },
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "poi_partkey": b["poi_id"].cast(pa.int64()),
+                "dist2_cd": pa.array(
+                    b["dist2"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pyarrow", batch_size=None).to_pandas()
+    return out.sort_values(["event_id", "poi_partkey"]).reset_index(drop=True)
+
+
+SQL_RADIUS_POI = f"""
+WITH pts AS (
+  SELECT event_id, {EVENT_LAT_CD} AS lat_cd, {EVENT_LON_CD} AS lon_cd
+  FROM events WHERE event_id % {KNN_SUBSET_MOD} = 0
+), pois AS (
+  SELECT p_partkey, {POI_LAT_CD} AS lat_cd, {POI_LON_CD} AS lon_cd FROM part
+)
+SELECT pts.event_id, pois.p_partkey AS poi_partkey,
+  (pts.lat_cd - pois.lat_cd) * (pts.lat_cd - pois.lat_cd)
+    + (pts.lon_cd - pois.lon_cd) * (pts.lon_cd - pois.lon_cd) AS dist2_cd
+FROM pts CROSS JOIN pois
+WHERE (pts.lat_cd - pois.lat_cd) * (pts.lat_cd - pois.lat_cd)
+    + (pts.lon_cd - pois.lon_cd) * (pts.lon_cd - pois.lon_cd)
+    <= {int(RADIUS_CD * RADIUS_CD)}
+"""
+
+
 # =========================================================================
 # Documents: dedup + text analysis
 # =========================================================================
@@ -1798,6 +1872,7 @@ QUERIES: dict[str, tuple] = {
     "type_value_extremes": (q_type_value_extremes, SQL_TYPE_VALUE_EXTREMES),
     "order_status_priority": (q_order_status_priority, SQL_ORDER_STATUS_PRIORITY),
     "knn3_poi": (q_knn3_poi, SQL_KNN3_POI),
+    "radius_poi": (q_radius_poi, SQL_RADIUS_POI),
     "image_phash_dedup": (q_image_phash_dedup, _sql_image_phash_dedup),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "global_ts_window": (q_global_ts_window, SQL_GLOBAL_TS_WINDOW),

@@ -167,6 +167,60 @@ def nearest_poi(
     return best_idx, best_d2
 
 
+def pois_within_radius(
+    plat: np.ndarray,
+    plon: np.ndarray,
+    index: PoiIndex,
+    r2: float,
+    metric_lat: np.ndarray | None = None,
+    metric_lon: np.ndarray | None = None,
+    max_ring: int = 64,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RANGE (radius) join: ALL POIs with squared metric distance ≤
+    ``r2`` for each point — the fixed-radius sibling of
+    :func:`nearest_poi`. Unlike kNN no iterative expansion is needed:
+    the radius bounds the disk up front — any POI within Euclidean
+    distance d lies within Chebyshev CELL distance ceil(d/cell_lat)
+    (cells are at least cell_lat wide in both axes), so ONE disk
+    gather + one vectorized exact filter is complete.
+
+    Returns (point_row, poi_row, d2) candidate-pair arrays (long
+    form, unordered — callers sort). Exact under the index's metric
+    space (pass centidegree metrics for integer parity)."""
+    import math
+
+    plat = np.asarray(plat, dtype=np.float64)
+    plon = np.asarray(plon, dtype=np.float64)
+    qlat = np.asarray(metric_lat, dtype=np.float64) if metric_lat is not None else plat
+    qlon = np.asarray(metric_lon, dtype=np.float64) if metric_lon is not None else plon
+    n = len(plat)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64))
+    if n == 0 or index.poi_ids.size == 0:
+        return empty
+    cell_metric = 180.0 / (1 << index.level) * index.metric_scale
+    rings = min(max_ring, int(math.ceil(math.sqrt(max(r2, 0.0)) / cell_metric)))
+    base_cell = cells.cell_id(plat, plon, index.level)
+    disk = cells.disk_cells(base_cell, index.level, rings)
+    # disk_cells clamps pole neighbors to the center cell and wraps
+    # longitude — duplicate cell ids per row, harmless for kNN's
+    # first-win but PAIR-DUPLICATING here: sort each row and blank
+    # repeats with -1 (matches no cell key)
+    disk = np.sort(disk, axis=1)
+    dup = np.zeros_like(disk, dtype=bool)
+    dup[:, 1:] = disk[:, 1:] == disk[:, :-1]
+    disk = np.where(dup, np.int64(-1), disk)
+    m, w = disk.shape
+    counts, poi_rows = index.pois_in_cells(disk.ravel())
+    if not poi_rows.size:
+        return empty
+    pt_of_cand = np.repeat(np.arange(m * w) // w, counts)
+    d2 = (index.mlat[poi_rows] - qlat[pt_of_cand]) ** 2 + (
+        index.mlon[poi_rows] - qlon[pt_of_cand]
+    ) ** 2
+    keep = d2 <= r2
+    return pt_of_cand[keep], poi_rows[keep], d2[keep]
+
+
 def k_nearest_poi(
     plat: np.ndarray,
     plon: np.ndarray,

@@ -205,6 +205,47 @@ class KnnPoiJoiner:
         return _knn_join_impl(batch, self.index, self.lat_col, self.lon_col)
 
 
+def radius_join_batch(
+    batch: pa.Table,
+    index_ref: Any,
+    r2: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    metric_lat_col: str | None = None,
+    metric_lon_col: str | None = None,
+) -> pa.Table:
+    """RANGE join (fixed radius): one output row per (point, POI)
+    with squared metric distance ≤ ``r2`` — the all-matches sibling
+    of :func:`knn_join_batch`, same broadcast worker-cached index,
+    same exact metric space. Output = the input row's columns (taken
+    per match) + ``poi_id`` + ``dist2`` (metric units²)."""
+    index: knn.PoiIndex = _resolve_cached(index_ref)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    mlat = (
+        batch[metric_lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if metric_lat_col
+        else None
+    )
+    mlon = (
+        batch[metric_lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if metric_lon_col
+        else None
+    )
+    pt_rows, poi_rows, d2 = knn.pois_within_radius(
+        lat, lon, index, r2, metric_lat=mlat, metric_lon=mlon
+    )
+    id_type = (
+        pa.string()
+        if index.poi_ids.dtype == object
+        else pa.from_numpy_dtype(index.poi_ids.dtype)
+    )
+    out = batch.take(pa.array(pt_rows))
+    return out.append_column(
+        "poi_id", pa.array(index.poi_ids[poi_rows].tolist(), type=id_type)
+    ).append_column("dist2", pa.array(d2))
+
+
 def knn_join_batch(
     batch: pa.Table, index_ref: Any, lat_col: str = "lat", lon_col: str = "lon",
     metric_lat_col: str | None = None, metric_lon_col: str | None = None,

@@ -398,3 +398,72 @@ class TestFlagshipScalePlan:
         a = df.sort_values(["region_id", "cell"]).reset_index(drop=True)
         b = want.sort_values(["region_id", "cell"]).reset_index(drop=True)[a.columns]
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestRadiusJoin:
+    """J8 range join: pois_within_radius == brute force, no duplicate
+    pairs from clamped/wrapped disk cells."""
+
+    def _index(self, pk, lat_cd, lon_cd, level=7):
+        from activity_files_ray.spatial import knn
+
+        return knn.PoiIndex(
+            pk, lat_cd / 100.0, lon_cd / 100.0, level=level,
+            metric_lat=lat_cd.astype(np.float64),
+            metric_lon=lon_cd.astype(np.float64), metric_scale=100.0,
+        )
+
+    def test_matches_bruteforce(self):
+        from activity_files_ray.spatial import knn
+
+        rng = np.random.default_rng(23)
+        n_poi, n_pt = 400, 250
+        plat = rng.integers(-8900, 8900, n_poi).astype(np.float64)
+        plon = rng.integers(-17900, 17900, n_poi).astype(np.float64)
+        idx = self._index(np.arange(n_poi), plat, plon)
+        qlat = rng.integers(-8900, 8900, n_pt).astype(np.float64)
+        qlon = rng.integers(-17900, 17900, n_pt).astype(np.float64)
+        r2 = 600.0**2
+        pt, poi, d2 = knn.pois_within_radius(
+            qlat / 100.0, qlon / 100.0, idx, r2,
+            metric_lat=qlat, metric_lon=qlon,
+        )
+        got = {(int(a), int(idx.poi_ids[b])) for a, b in zip(pt, poi)}
+        # brute force over the full cross product
+        dd = (qlat[:, None] - plat[None, :]) ** 2 + (qlon[:, None] - plon[None, :]) ** 2
+        exp = {(int(i), int(j)) for i, j in zip(*np.where(dd <= r2))}
+        assert got == exp and len(got) > 0
+        assert len(got) == len(pt)  # no duplicate pairs
+        np.testing.assert_array_equal(
+            d2, ((qlat[pt] - plat[poi]) ** 2 + (qlon[pt] - plon[poi]) ** 2)
+        )
+
+    def test_polar_and_wrap_no_duplicates(self):
+        from activity_files_ray.spatial import knn
+
+        # POIs and points jammed at the pole and the antimeridian:
+        # disk_cells clamps/wraps there, which duplicated cell ids
+        pk = np.arange(6)
+        plat = np.array([8950.0, 8940.0, 8930.0, -8950.0, 8945.0, 8935.0])
+        plon = np.array([17950.0, -17950.0, 0.0, 17990.0, 17980.0, -17980.0])
+        idx = self._index(pk, plat, plon, level=4)  # big cells => clamping
+        pt, poi, d2 = knn.pois_within_radius(
+            plat / 100.0, plon / 100.0, idx, 1e9,
+            metric_lat=plat, metric_lon=plon,
+        )
+        pairs = list(zip(pt.tolist(), poi.tolist()))
+        assert len(pairs) == len(set(pairs))  # strictly no dup pairs
+
+    def test_empty_sides(self):
+        from activity_files_ray.spatial import knn
+
+        idx = self._index(np.arange(3), np.array([0.0, 100.0, 200.0]),
+                          np.array([0.0, 100.0, 200.0]))
+        pt, poi, d2 = knn.pois_within_radius(
+            np.empty(0), np.empty(0), idx, 100.0)
+        assert len(pt) == 0
+        empty_idx = self._index(np.empty(0, np.int64), np.empty(0), np.empty(0))
+        pt, poi, d2 = knn.pois_within_radius(
+            np.array([0.0]), np.array([0.0]), empty_idx, 100.0,
+            metric_lat=np.array([0.0]), metric_lon=np.array([0.0]))
+        assert len(pt) == 0
