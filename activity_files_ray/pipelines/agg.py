@@ -56,6 +56,7 @@ def bucketed_aggregate(
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     n_buckets: int | None = None,
+    having=None,
 ):
     """Distributed grouped aggregate for KEY-PER-ROW cardinalities —
     the hash-partitioned two-phase plan:
@@ -79,6 +80,10 @@ def bucketed_aggregate(
     width instead of a fixed constant. Returns a DATASET (keys + agg
     columns) — the result is key-per-row sized and must stay
     distributed.
+
+    ``having(df) -> df`` runs INSIDE each bucket's merge, after the
+    final per-key values exist — post-aggregation filters (HAVING)
+    prune in the cluster instead of on a driver frame.
     """
     if n_buckets is None:
         n_buckets = default_n_buckets()
@@ -103,17 +108,80 @@ def bucketed_aggregate(
     }
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return (
+        out = (
             g.drop(columns=["_bucket"])
             .groupby(keys, as_index=False, observed=True)
             .agg(**merge_named)
         )
+        return having(out) if having is not None else out
 
     return (
         ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def bucketed_topk(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    sort_by: list[str],
+    ascending: list[bool],
+    k: int,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Grouped aggregate + global top-k for KEY-PER-ROW key
+    cardinalities: the hash-partitioned two-phase plan with the top-k
+    folded INTO each bucket's merge. Every distinct key lands in
+    exactly one bucket, so a row in the global top-k is necessarily in
+    its own bucket's top-k — each bucket emits ≤ k candidate rows and
+    the driver merges ≤ k × n_buckets rows TOTAL, independent of key
+    count (vs :func:`tree_aggregate`, whose driver frame is one row
+    per distinct key). ``sort_by``/``ascending`` must order
+    deterministically (include a tie-break key). Returns the k-row
+    pandas result — bounded by construction."""
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_by, ascending=ascending, kind="mergesort").head(k)
+
+    parts = bucketed_aggregate(ds, keys, aggs, n_buckets, having=bucket_topk)
+    return (
+        parts.to_pandas()
+        .sort_values(sort_by, ascending=ascending, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def bucketed_distinct_count(ds, col: str, n_buckets: int | None = None) -> int:
+    """Global COUNT(DISTINCT col) for KEY-PER-ROW cardinalities.
+    Per-batch partials collapse to the batch's unique values (+ the
+    deterministic hash bucket), the bucket merge emits ONE count row
+    per bucket, and the driver sums ≤ n_buckets rows — the full
+    distinct-value frame never exists anywhere: each bucket sees only
+    its own hash slice of the value space."""
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({col: df[col].unique()})
+        h = pd.util.hash_pandas_object(part[col], index=False).to_numpy(np.uint64)
+        part["_bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return part
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [np.int64(g[col].nunique())]})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return int(counts["n"].sum()) if len(counts) else 0
 
 
 def tree_aggregate(
