@@ -21,6 +21,29 @@ def _as_matrix(col) -> np.ndarray:
     return np.stack(col.to_numpy()).astype(np.float64)
 
 
+def _seq_dots(emb: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """(n×d)·(d×m) dot products accumulated LEFT-TO-RIGHT over d with
+    elementwise ops only. A BLAS matmul's reduction order can change
+    with batch shape and array alignment (measured: last-ulp drift
+    between the in-memory and read-back IVF probes), which would make
+    golden-pinned outputs depend on the executor's batch split; the
+    column loop makes every row's value a fixed IEEE op sequence —
+    bit-stable under any split — at ~d fused passes per batch (d≈64:
+    negligible next to the former matmul)."""
+    out = np.zeros((len(emb), mat.shape[1]), dtype=np.float64)
+    for j in range(emb.shape[1]):
+        out += emb[:, j : j + 1] * mat[j : j + 1, :]
+    return out
+
+
+def _seq_norms(emb: np.ndarray) -> np.ndarray:
+    """Row L2 norms via the same left-to-right accumulation."""
+    sq = np.zeros(len(emb), dtype=np.float64)
+    for j in range(emb.shape[1]):
+        sq += emb[:, j] * emb[:, j]
+    return np.sqrt(sq)
+
+
 def brute_force_topk(
     ds,
     query: np.ndarray,
@@ -150,9 +173,9 @@ def ivf_write(
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         emb = _as_matrix(df[vec_col])
-        norm = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-30)
+        norm = emb / (_seq_norms(emb)[:, None] + 1e-30)
         out = df[[id_col, vec_col]].copy()
-        out["cluster"] = np.argmax(norm @ centroids.T, axis=1).astype(np.int64)
+        out["cluster"] = np.argmax(_seq_dots(norm, centroids.T), axis=1).astype(np.int64)
         return out
 
     assigned = ds.map_batches(assign, batch_format="pandas", batch_size=None)
@@ -202,8 +225,8 @@ def ivf_read_topk(
 
     def batch_topk(df: pd.DataFrame) -> pd.DataFrame:
         emb = _as_matrix(df[vec_col])
-        norm = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-30)
-        cos = norm @ qn
+        norm = emb / (_seq_norms(emb)[:, None] + 1e-30)
+        cos = _seq_dots(norm, qn[:, None])[:, 0]
         kk = min(k, len(cos))
         top = np.argpartition(-cos, kk - 1)[:kk]
         return pd.DataFrame({id_col: df[id_col].to_numpy()[top], "cos": cos[top]})
@@ -234,12 +257,12 @@ def ivf_topk(
 
     def batch_probe(df: pd.DataFrame) -> pd.DataFrame:
         emb = _as_matrix(df[vec_col])
-        norm = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-30)
-        assign = np.argmax(norm @ centroids.T, axis=1)
+        norm = emb / (_seq_norms(emb)[:, None] + 1e-30)
+        assign = np.argmax(_seq_dots(norm, centroids.T), axis=1)
         mask = np.isin(assign, list(probe))
         if not mask.any():
             return pd.DataFrame({id_col: [], "cos": []})
-        cos = norm[mask] @ qn
+        cos = _seq_dots(norm[mask], qn[:, None])[:, 0]
         ids = df[id_col].to_numpy()[mask]
         kk = min(k, len(cos))
         top = np.argpartition(-cos, kk - 1)[:kk]

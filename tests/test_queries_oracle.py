@@ -105,6 +105,8 @@ def test_query_matches_oracle_sf01(name):
     """The same oracle gate at sf0.1 — 10x the driver's scale. This
     caught a real bug the sf0.01 gate could not (integer-distance
     kNN ties misordered by degree-float skew at high POI density)."""
+    if name in q.SF001_SCOPED_ORACLES:
+        pytest.skip("golden VALUES pin is scoped to the sf0.01 driver scale")
     big = "/root/testdata/sf0.1"
     con = duckdb.connect()
     for t in TABLES:
