@@ -356,6 +356,58 @@ def run_bench() -> dict:
     return out
 
 
+def run_control() -> dict:
+    """Raw ``@ray.remote`` scaling CONTROL (r3 verdict item 4): 128
+    embarrassingly-parallel pure-compute tasks — no engine, no
+    shuffle, no shared data — timed after a full warm-up wave. Run
+    INTERLEAVED with the engine legs at the same CPU counts, its
+    lo/hi ratio is the best any task-parallel workload can do on this
+    VM at that minute; engine-efficiency ÷ control-efficiency per
+    pair separates engine losses from hypervisor saturation (beyond
+    ~16 busy vCPUs this host's bandwidth stops growing —
+    BASELINE.md). The kernel is a cache-resident 192×192 matmul
+    chain: compute-bound, so the control measures scheduling + CPU
+    ceiling, not memory bandwidth (a bandwidth control would anti-
+    scale and flatter the engine)."""
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+
+    @ray.remote
+    def work(seed: int) -> float:
+        rng = np.random.default_rng(seed)
+        a = rng.standard_normal((192, 192))
+        acc = 0.0
+        for _ in range(800):
+            a = np.tanh(a @ a.T / 192.0)
+            acc += float(a[0, 0])
+        return acc
+
+    n_tasks = 128  # fixed TOTAL work (strong scaling); 128 % 32 == 0
+    # warm-up wave: start every worker process before the clock
+    ray.get([work.remote(10_000 + i) for i in range(NUM_CPUS)])
+    t0 = time.perf_counter()
+    ray.get([work.remote(i) for i in range(n_tasks)])
+    el = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "metric": "control_total_sec",
+        "value": round(el, 3),
+        "unit": "sec",
+        "queries": {"raw_ray_control": round(el, 3)},
+        "sf": None,
+        "num_cpus": NUM_CPUS,
+        "rows_per_sec": {},
+    }
+
+
 def run_scaling() -> dict:
     """PAIRED-trial protocol: each trial runs lo then hi back-to-back
     in fresh processes, so both sides of one ratio sample the same
@@ -367,15 +419,18 @@ def run_scaling() -> dict:
 
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
 
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int, mode: str = "engine") -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEAVY="1",
             GRAFT_BENCH_IMAGES=os.environ.get("GRAFT_BENCH_IMAGES", "24000"),
         )
+        argv = [sys.executable, os.path.abspath(__file__)]
+        if mode == "control":
+            argv.append("--control")
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            argv,
             env=env,
             capture_output=True,
             text=True,
@@ -389,12 +444,25 @@ def run_scaling() -> dict:
     # measure the hypervisor, not the engine.
     lo_cpus = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi_cpus = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+    # r3 verdict item 4: interleave the raw-Ray control with the
+    # engine legs (lo-eng, lo-ctl, hi-eng, hi-ctl — all four sample
+    # the same machine state) and report engine-eff ÷ control-eff
+    # per pair; disable with GRAFT_SCALING_CONTROL=0.
+    with_control = os.environ.get("GRAFT_SCALING_CONTROL", "1") == "1"
     pairs = []
+    ctl_effs: list[float] = []
+    norm_effs: list[float] = []
     for _ in range(trials):
         lo = one(lo_cpus)
+        lo_ctl = one(lo_cpus, "control") if with_control else None
         hi = one(hi_cpus)
+        hi_ctl = one(hi_cpus, "control") if with_control else None
         eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
         pairs.append((eff, lo, hi))
+        if with_control:
+            c_eff = (lo_ctl["value"] / hi_ctl["value"]) / (hi_cpus / lo_cpus)
+            ctl_effs.append(round(c_eff, 3))
+            norm_effs.append(round(eff / c_eff, 3))
     effs = [round(e, 3) for e, _lo, _hi in pairs]
     best_eff, lo, hi = max(pairs, key=lambda p: p[0])
     srt = sorted(e for e, _lo, _hi in pairs)
@@ -403,12 +471,26 @@ def run_scaling() -> dict:
         if len(srt) % 2
         else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
     )
+    out_ctl = {}
+    if with_control:
+        srt_n = sorted(norm_effs)
+        med_n = (
+            srt_n[len(srt_n) // 2]
+            if len(srt_n) % 2
+            else (srt_n[len(srt_n) // 2 - 1] + srt_n[len(srt_n) // 2]) / 2
+        )
+        out_ctl = {
+            "control_pair_efficiencies": ctl_effs,
+            "normalized_pair_efficiencies": norm_effs,
+            "median_normalized_efficiency": round(med_n, 3),
+        }
     return {
         "metric": "scaling_efficiency",
         "value": round(best_eff, 3),
         "unit": "ratio",
         "median_efficiency": round(median, 3),
         "pair_efficiencies": effs,
+        **out_ctl,
         "sec_lo": lo["value"],
         "sec_hi": hi["value"],
         "cpus_lo": lo_cpus,
@@ -422,5 +504,10 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    elif "--control" in sys.argv:
+        result = run_control()
+    else:
+        result = run_bench()
     print(json.dumps(result))
