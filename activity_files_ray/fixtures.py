@@ -324,3 +324,80 @@ def parse_caption_bbox(caption: str) -> tuple[float, float, float, float]:
     bbox = caption.rsplit("bbox=", 1)[1]
     a, b, c, d = (float(x) for x in bbox.split(","))
     return a, b, c, d
+
+
+def make_geo_images(n: int = 180, seed: int = 11) -> pa.Table:
+    """Image table with PLANTED geo-localized near-duplicates for the
+    spatial near-dup pipeline (`multimodal.geo_phash_near_dup`).
+
+    Base images are rendered tracks like :func:`make_images` (same
+    IMAGES_SCHEMA; bbox in the caption is the geo metadata). Every
+    4th base image gets a re-encoded variant (``_v1``: identical
+    pixels through the OTHER codec — the real-world "re-upload
+    re-compressed" case, so its aHash lands within a few bits), with
+    the caption bbox shifted ~0.6 level-15 cells east/west (GPS-tag
+    jitter — the variant may land in the NEIGHBOR cell, exercising
+    the cross-boundary candidate path). Every 8th base image also
+    gets ``_v2`` shifted ~1.2 cells: ≥1 cell from the base (possibly
+    2 — then base↔v2 is NOT a candidate pair and the cluster only
+    closes transitively through v1). Base centers are spread over a
+    ±60° box, ≫ the 0.011° cell, so unrelated images are never
+    neighbors."""
+    rng = np.random.default_rng(seed)
+    cell_w = 360.0 / (1 << 15)  # level-15 cell width in degrees lon
+    rows: dict[str, list] = {k: [] for k in IMAGES_SCHEMA.names}
+
+    def emit(image_id: str, rgb: np.ndarray, fmt: str,
+             bbox: tuple[float, float, float, float], n_pts: int, i: int) -> None:
+        payload = (
+            imaging.encode_png(rgb) if fmt == "png" else imaging.encode_fake_jpeg(rgb)
+        )
+        decoded = imaging.decode_image(payload)
+        start = _dt.datetime.utcfromtimestamp(
+            (BUILDERS_T0 + i * 3_600_000_000) / 1e6
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        lat_min, lon_min, lat_max, lon_max = bbox
+        caption = (
+            f"{SPORTS[i % len(SPORTS)]} {n_pts}pts {start} "
+            f"bbox={lat_min:.6f},{lon_min:.6f},{lat_max:.6f},{lon_max:.6f}"
+        )
+        rows["image_id"].append(image_id)
+        rows["bytes"].append(payload)
+        rows["w"].append(rgb.shape[1])
+        rows["h"].append(rgb.shape[0])
+        rows["fmt"].append(fmt)
+        rows["caption"].append(caption)
+        rows["phash"].append(imaging.ahash64(decoded))
+
+    for i in range(n):
+        w = 64
+        lat, lon = _image_track(i, rng)
+        rgb, (lat_min, lon_min, lat_max, lon_max) = render_tile(lat, lon, w, w)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        emit(f"img_{i:012d}", rgb, fmt, (lat_min, lon_min, lat_max, lon_max), len(lat), i)
+        if i % 4 == 0:
+            other = "jpeg" if fmt == "png" else "png"
+            # near-identical pixels (other codec + one aHash block
+            # dimmed — a real near-dup, Hamming ≥ 1, not an exact
+            # re-encode), bbox nudged ~0.6 cells
+            sign = 1.0 if i % 8 == 0 else -1.0
+            d1 = sign * 0.6 * cell_w
+            decoded = imaging.decode_image(rows["bytes"][-1]).copy()
+            bh, bw = decoded.shape[0] // 8, decoded.shape[1] // 8
+            decoded[:bh, :bw] = 235  # flips aHash block (0,0)
+            emit(
+                f"img_{i:012d}_v1", decoded, other,
+                (lat_min, lon_min + d1, lat_max, lon_max + d1), len(lat), i,
+            )
+            if i % 8 == 0:
+                d2 = sign * 1.2 * cell_w
+                v2 = decoded.copy()
+                v2[:bh, bw : 2 * bw] = 235  # second block → one more bit
+                emit(
+                    f"img_{i:012d}_v2", v2, other,
+                    (lat_min, lon_min + d2, lat_max, lon_max + d2), len(lat), i,
+                )
+    return pa.table(
+        {k: pa.array(v, type=IMAGES_SCHEMA.field(k).type) for k, v in rows.items()},
+        schema=IMAGES_SCHEMA,
+    )

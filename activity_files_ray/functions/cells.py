@@ -168,12 +168,12 @@ def covering_cells_bbox(
     return cell_id_from_xy(gx.ravel(), gy.ravel())
 
 
-def cell_sql_expr(lat_expr: str, lon_expr: str, level: int = LEVEL_TILE) -> str:
-    """ANSI-SQL expression computing the identical cell id.
-
-    Single source of truth shared with the DuckDB oracle so the Ray
-    kernel and the SQL produce bit-identical int64 cell ids.
-    """
+def cell_xy_sql_exprs(
+    lat_expr: str, lon_expr: str, level: int = LEVEL_TILE
+) -> tuple[str, str]:
+    """ANSI-SQL (ix, iy) expressions computing the identical integer
+    cell coordinates as :func:`cell_xy` (same float64 expression
+    order → bit-identical). Single source for every cell oracle."""
     n = float(1 << level)
     hi = (1 << level) - 1
     ix = (
@@ -184,4 +184,14 @@ def cell_sql_expr(lat_expr: str, lon_expr: str, level: int = LEVEL_TILE) -> str:
         f"LEAST(GREATEST(CAST(FLOOR((({lat_expr}) + 90.0) * {n} / 180.0) "
         f"AS BIGINT), 0), {hi})"
     )
+    return ix, iy
+
+
+def cell_sql_expr(lat_expr: str, lon_expr: str, level: int = LEVEL_TILE) -> str:
+    """ANSI-SQL expression computing the identical cell id.
+
+    Single source of truth shared with the DuckDB oracle so the Ray
+    kernel and the SQL produce bit-identical int64 cell ids.
+    """
+    ix, iy = cell_xy_sql_exprs(lat_expr, lon_expr, level)
     return f"({ix} * {_IY_MOD} + {iy})"

@@ -1901,6 +1901,82 @@ def _sql_image_phash_dedup() -> str:
     )
 
 
+def q_geo_phash_near_dup(sf_dir: str):
+    """Geo-bucketed image near-dup (the graft's two axes fused):
+    images are near-duplicates iff their GPS-tag cells are Chebyshev-
+    adjacent at level 15 AND their aHashes are within 6 bits; clusters
+    close transitively. Runs `multimodal.geo_phash_near_dup` — fused
+    decode→hash→cell featurize, 3×3 disk replication, in-group
+    XOR-popcount verify, min-member clusters — over the deterministic
+    planted fixture (re-encoded codec-swap variants with GPS jitter
+    that crosses cell boundaries; the sf dirs carry no image table).
+    Fully SQL-oracled: `_sql_geo_phash_near_dup` replays the SEMANTIC
+    predicate (single-source cell formula + bit_count + closure CTE),
+    so the replication/min-home mechanics are checked against the
+    plain definition, not against themselves."""
+    import ray.data as rd
+
+    from .. import fixtures
+    from . import multimodal
+
+    t = fixtures.make_geo_images(180, seed=11).select(["image_id", "bytes", "caption"])
+    clusters, _pairs = multimodal.geo_phash_near_dup(rd.from_arrow(t), max_hamming=6)
+    out = clusters.to_pandas() if hasattr(clusters, "to_pandas") else clusters
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _sql_geo_phash_near_dup() -> str:
+    """Generated semantic oracle for q_geo_phash_near_dup (LAZY: the
+    fixture render costs ~1 s). (image_id, phash, lat, lon) rows come
+    from the SAME decode/ahash/bbox functions the Ray kernel calls;
+    cell coordinates use the single-source `cells.cell_xy_sql_exprs`
+    formula; float literals carry an exponent so DuckDB types them
+    DOUBLE (a plain decimal goes through DECIMAL and can land an ulp
+    off — the SQL_ANN_IVF_GOLDEN lesson)."""
+    from .. import fixtures
+    from ..functions import cells as _cells
+    from ..functions import imaging
+
+    t = fixtures.make_geo_images(180, seed=11)
+
+    def dbl(x: float) -> str:
+        s = repr(float(x))
+        return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
+
+    vals = []
+    for image_id, payload, caption in zip(
+        t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["caption"].to_pylist()
+    ):
+        rgb = imaging.decode_image(payload)
+        ph = imaging.ahash64(rgb)
+        lat_min, lon_min, lat_max, lon_max = fixtures.parse_caption_bbox(caption)
+        vals.append(
+            f"('{image_id}', CAST({ph} AS BIGINT), "
+            f"{dbl((lat_min + lat_max) * 0.5)}, {dbl((lon_min + lon_max) * 0.5)})"
+        )
+    ix_sql, iy_sql = _cells.cell_xy_sql_exprs("lat", "lon", _cells.LEVEL_TILE)
+    return f"""
+WITH RECURSIVE
+feat AS (
+  SELECT image_id, phash, {ix_sql} AS ix, {iy_sql} AS iy
+  FROM (VALUES {", ".join(vals)}) AS imgs(image_id, phash, lat, lon)
+),
+pairs AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM feat a JOIN feat b ON a.image_id < b.image_id
+   AND abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+   AND bit_count(xor(a.phash, b.phash)) <= 6
+),
+edges AS (SELECT a AS u, b AS w FROM pairs UNION SELECT b, a FROM pairs),
+reach(n, r) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT reach.n, e2.w FROM reach JOIN edges e2 ON reach.r = e2.u
+)
+SELECT n AS image_id, LEAST(MIN(r), n) AS cluster_id FROM reach GROUP BY n
+"""
+
+
 def q_distinct_counts(sf_dir: str):
     """Global distinct counts (O-set coverage: unique/distinct as the
     groupby-size pattern) — single-row output.
@@ -2082,6 +2158,7 @@ QUERIES: dict[str, tuple] = {
     "knn3_poi": (q_knn3_poi, SQL_KNN3_POI),
     "radius_poi": (q_radius_poi, SQL_RADIUS_POI),
     "image_phash_dedup": (q_image_phash_dedup, _sql_image_phash_dedup),
+    "geo_phash_near_dup": (q_geo_phash_near_dup, _sql_geo_phash_near_dup),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "global_ts_window": (q_global_ts_window, SQL_GLOBAL_TS_WINDOW),
     "pip_grid_counts": (q_pip_grid_counts, SQL_PIP_GRID_COUNTS),
