@@ -1005,6 +1005,151 @@ def ngram_jaccard_pairs(
     return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
 
+def ngram_jaccard_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+    use_shuffle: bool | None = None,
+    distributed_clusters: bool | None = None,
+    max_bucket: int = 4096,
+):
+    """EXACT n-gram Jaccard set-similarity self-join via AllPairs /
+    PPJoin prefix filtering (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08) — no sketch approximation anywhere: every returned pair
+    has true Jaccard ≥ ``threshold`` and no qualifying pair is missed
+    (contrast :func:`minhash_dedup`, whose LSH recall is
+    probabilistic). Completes the dedup family alongside exact /
+    minhash / simhash / embedding near-dup.
+
+    Fully distributed plan:
+
+    1. **Doc-frequency pass** — distinct shingle hashes per doc →
+       ``bucketed_aggregate`` count per token, keep DF ≥ 2 (a DF-1
+       token can never witness a pair, so dropping it is lossless).
+       The surviving vocabulary is the CO-OCCURRING shingle set —
+       bounded far below corpus rows — and broadcasts once via
+       ``ray.put`` as two sorted numpy arrays.
+    2. **Prefix pass** — each doc's ``n`` shingles are ranked by
+       (DF asc, hash asc); unseen tokens rank as DF 1 (rarest-first).
+       Exactness needs only a CONSISTENT total order — DF order is
+       purely the bucket-size optimization. Emit the first
+       ``L = n − ceil(threshold·n) + 1`` tokens as
+       ``(doc_id, band_key)`` rows: two sets with
+       ``J ≥ threshold`` share at least ``ceil(threshold·max(n_a,
+       n_b))`` tokens, so each MUST contribute a shared token inside
+       the other's prefix under the common order.
+    3. **Pair generation** — ``groupby(band_key)`` shuffle above
+       ``SHUFFLE_THRESHOLD_DOCS`` (driver-fold below, same split as
+       minhash). Bucket size is bounded by the prefix token's DF;
+       rarest-first ranking keeps buckets small, and ``max_bucket``
+       is a high safety valve rather than a recall knob.
+    4. **Exact verify** — in-cluster sketch semi-join
+       (:func:`_verify_jaccard_distributed`) on the shuffle path;
+       bit-identical driver fold otherwise.
+    5. **Clusters** — :func:`_assemble_clusters` (Dataset-native CC
+       on the distributed path).
+
+    Returns ``(clusters(doc_id, cluster_id), verified_pairs(a, b,
+    jaccard))`` exactly like :func:`minhash_dedup`."""
+    import ray
+
+    use_shuffle = _auto_shuffle(ds, use_shuffle)
+    if distributed_clusters is None:
+        distributed_clusters = use_shuffle
+    ds = _coalesce_small(ds)
+
+    # ---- pass 1: co-occurring-token doc frequency (bounded) ----
+    def tok_batch(df: pd.DataFrame) -> pd.DataFrame:
+        chunks = [shingle_set(t, shingle_k) for t in df[text_col].fillna("")]
+        toks = (
+            np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.uint64)
+        )
+        return pd.DataFrame({"tok": toks.view(np.int64)})
+
+    from . import agg
+
+    tok_rows = ds.map_batches(tok_batch, batch_format="pandas", batch_size=None)
+    df_tab = agg.bucketed_aggregate(tok_rows, ["tok"], {"df": ("", "count")})
+    shared = df_tab.map_batches(
+        lambda d: d[d["df"] >= 2], batch_format="pandas", batch_size=None
+    ).to_pandas()
+    shared = shared.sort_values("tok")
+    vocab_ref = ray.put(
+        (
+            shared["tok"].to_numpy(np.int64).view(np.uint64),
+            shared["df"].to_numpy(np.int64),
+        )
+    )
+
+    # ---- pass 2: rarest-first prefix emission ----
+    def prefix_batch(df: pd.DataFrame) -> pd.DataFrame:
+        vocab_tok, vocab_df = ray.get(vocab_ref)
+        rows_id, rows_key = [], []
+        for did, txt in zip(df[id_col], df[text_col].fillna("")):
+            sh = shingle_set(txt, shingle_k)  # sorted unique
+            n = len(sh)
+            pref_len = n - int(np.ceil(threshold * n)) + 1
+            dfreq = np.ones(n, dtype=np.int64)
+            if vocab_tok.size:
+                pos = np.searchsorted(vocab_tok, sh)
+                pos = np.minimum(pos, vocab_tok.size - 1)
+                hit = vocab_tok[pos] == sh
+                dfreq[hit] = vocab_df[pos[hit]]
+            order = np.lexsort((sh, dfreq))
+            pref = sh[order[:pref_len]]
+            rows_id.extend([did] * len(pref))
+            rows_key.append(pref.view(np.int64))
+        keys = (
+            np.concatenate(rows_key) if rows_key else np.zeros(0, np.int64)
+        )
+        return pd.DataFrame({"doc_id": rows_id, "band_key": keys})
+
+    bucket_rows = ds.map_batches(
+        prefix_batch, batch_format="pandas", batch_size=None
+    )
+    if use_shuffle:
+        pair_df = _pairs_via_shuffle(bucket_rows, max_bucket=max_bucket)
+        pairs = set(zip(pair_df["a"], pair_df["b"]))
+    else:
+        pairs = _pairs_from_buckets(bucket_rows.to_pandas(), max_bucket=max_bucket)
+    if not pairs:
+        return (
+            pd.DataFrame(columns=[id_col, "cluster_id"]),
+            pd.DataFrame(columns=["a", "b", "jaccard"]),
+        )
+    if use_shuffle:
+        cand_pairs = pd.DataFrame(sorted(pairs), columns=["a", "b"])
+        if distributed_clusters:
+            vp_ds = _verify_jaccard_distributed(
+                ds, id_col, text_col, cand_pairs, shingle_k, threshold,
+                as_dataset=True,
+            ).materialize()
+            if vp_ds.count() == 0:
+                return (
+                    pd.DataFrame(columns=[id_col, "cluster_id"]),
+                    pd.DataFrame(columns=["a", "b", "jaccard"]),
+                )
+            return _assemble_clusters(vp_ds, id_col, True), vp_ds
+        vp = _verify_jaccard_distributed(
+            ds, id_col, text_col, cand_pairs, shingle_k, threshold
+        )
+    else:
+        cand_ids = sorted({d for p in pairs for d in p})
+        texts = _fetch_texts(ds, id_col, text_col, cand_ids)
+        sh = {d: shingle_set(texts[d], shingle_k) for d in cand_ids if d in texts}
+        verified = []
+        for a, b in sorted(pairs):
+            if a not in sh or b not in sh:
+                continue
+            j = jaccard(sh[a], sh[b])
+            if j >= threshold:
+                verified.append((a, b, j))
+        vp = pd.DataFrame(verified, columns=["a", "b", "jaccard"])
+    return _assemble_clusters(vp, id_col, distributed_clusters), vp
+
+
 def _fetch_column(ds, id_col: str, val_col: str, ids: list):
     """Broadcast-id-set semi-join: stream the corpus, keep only the
     candidate rows (Arrow-native filter — zero-copy, and empty result

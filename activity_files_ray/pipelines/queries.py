@@ -1134,6 +1134,28 @@ SELECT n AS doc_id, LEAST(MIN(r), n) AS cluster_id FROM reach GROUP BY n
 """
 
 
+def q_ngram_jaccard_dupes(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup clusters via AllPairs/PPJoin
+    prefix filtering (``dedup.ngram_jaccard_dedup``) — unlike the
+    minhash query, NOTHING here is probabilistic: the prefix filter
+    provably emits every pair with Jaccard ≥ 0.6, the verify stage
+    computes exact Jaccard, so the clusters equal the all-pairs
+    ground truth by construction, not by tuned recall. The oracle is
+    the same exact-Jaccard closure CTE at threshold 0.6
+    (``SQL_NGRAM_JACCARD``)."""
+    from . import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    clusters, _pairs = dedup.ngram_jaccard_dedup(ds, threshold=0.6)
+    return clusters
+
+
+_OLD_J = "/ (za.n + zb.n - i.icnt) >= 0.8"
+_NEW_J = "/ (za.n + zb.n - i.icnt) >= 0.6"
+SQL_NGRAM_JACCARD = SQL_MINHASH_CLUSTERS.replace(_OLD_J, _NEW_J)
+assert SQL_NGRAM_JACCARD != SQL_MINHASH_CLUSTERS, "threshold clause moved"
+
+
 def q_simhash_dupes(sf_dir: str):
     """SimHash near-dup clusters over documents. FULLY oracled (NEW
     in r3): token hashes are MD5-top-64 (``dedup._md5_64_many``),
@@ -2139,6 +2161,7 @@ QUERIES: dict[str, tuple] = {
     "embed_axis_topk": (q_embed_axis_topk, SQL_EMBED_AXIS_TOPK),
     "embed_cosine_topk": (q_embed_cosine_topk, SQL_EMBED_COSINE_TOPK),
     "minhash_dupes": (q_minhash_dupes, SQL_MINHASH_CLUSTERS),
+    "ngram_jaccard_dupes": (q_ngram_jaccard_dupes, SQL_NGRAM_JACCARD),
     "minhash_dupes_distcc": (q_minhash_dupes_distcc, SQL_MINHASH_CLUSTERS),
     "simhash_dupes": (q_simhash_dupes, SQL_SIMHASH_CLUSTERS),
     "embed_near_dup": (q_embed_near_dup, _sql_embed_near_dup),

@@ -69,6 +69,89 @@ class TestMinhash:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestNgramJaccard:
+    """dedup.ngram_jaccard_dedup — EXACT AllPairs/PPJoin prefix-filter
+    join: unlike minhash, equality with the brute-force oracle is a
+    guarantee of the algorithm, not of tuned LSH recall."""
+
+    def _oracle(self, ds, threshold):
+        o = dedup.ngram_jaccard_pairs(ds, threshold=threshold)
+        return {tuple(sorted(p)) for p in zip(o["a"], o["b"])}
+
+    def test_matches_bruteforce_both_paths(self):
+        import ray.data as rd
+
+        for shuffle in (False, True):
+            ds = rd.from_pandas(planted_corpus())
+            _cl, pairs = dedup.ngram_jaccard_dedup(
+                ds, threshold=0.5, use_shuffle=shuffle,
+                distributed_clusters=False,
+            )
+            got = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+            assert got == self._oracle(rd.from_pandas(planted_corpus()), 0.5)
+
+    def test_exact_jaccard_values(self):
+        import ray.data as rd
+
+        ds = rd.from_pandas(planted_corpus())
+        _cl, pairs = dedup.ngram_jaccard_dedup(ds, threshold=0.5)
+        oracle = dedup.ngram_jaccard_pairs(
+            rd.from_pandas(planted_corpus()), threshold=0.5
+        )
+        mine = {
+            tuple(sorted((a, b))): j
+            for a, b, j in zip(pairs["a"], pairs["b"], pairs["jaccard"])
+        }
+        ref = {
+            tuple(sorted((a, b))): j
+            for a, b, j in zip(oracle["a"], oracle["b"], oracle["jaccard"])
+        }
+        assert mine.keys() == ref.keys()
+        for k in ref:
+            assert mine[k] == pytest.approx(ref[k], abs=1e-12)
+
+    def test_distributed_clusters_match_unionfind(self):
+        import ray.data as rd
+
+        ds = rd.from_pandas(planted_corpus())
+        cl_d, vp = dedup.ngram_jaccard_dedup(
+            ds, threshold=0.5, use_shuffle=True, distributed_clusters=True
+        )
+        cl_df = cl_d.to_pandas() if hasattr(cl_d, "to_pandas") else cl_d
+        ds2 = rd.from_pandas(planted_corpus())
+        cl_u, _vp = dedup.ngram_jaccard_dedup(
+            ds2, threshold=0.5, use_shuffle=True, distributed_clusters=False
+        )
+        a = cl_df.sort_values("doc_id").reset_index(drop=True)
+        b = cl_u.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[["doc_id", "cluster_id"]].astype("int64"),
+            b[["doc_id", "cluster_id"]].astype("int64"),
+        )
+
+    def test_prefix_bound_adversarial(self):
+        """Docs engineered so every shared token is COMMON (worst case
+        for hash-ordered prefixes): DF-ascending ranking must still
+        find the qualifying pair."""
+        import ray.data as rd
+
+        common = " ".join(f"c{i}" for i in range(30))
+        docs = [
+            common + " x1 x2",
+            common + " y1 y2",  # high overlap with doc 0 via common tokens
+            "z " + " ".join(f"u{i}" for i in range(20)),
+        ]
+        df = pd.DataFrame({"doc_id": range(3), "text": docs})
+        for shuffle in (False, True):
+            _cl, pairs = dedup.ngram_jaccard_dedup(
+                rd.from_pandas(df), threshold=0.5, use_shuffle=shuffle,
+                distributed_clusters=False,
+            )
+            got = {tuple(sorted(p)) for p in zip(pairs["a"], pairs["b"])}
+            assert got == self._oracle(rd.from_pandas(df), 0.5)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSimhash:
     def test_finds_planted_neardups(self):
         import ray.data as rd
