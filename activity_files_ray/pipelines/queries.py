@@ -712,6 +712,112 @@ WHERE (pts.lat_cd - pois.lat_cd) * (pts.lat_cd - pois.lat_cd)
 """
 
 
+SEG_SUBSET_MOD = 20  # q_knn_segment keeps segments whose first event id % 20 == 0
+# (matches KNN_SUBSET_MOD: the sf0.1 oracle is a CROSS JOIN scored in
+# HUGEINT — 25k segments x 20k POIs was ~8 min of 128-bit CASE math)
+
+
+def q_knn_segment_poi(sf_dir: str):
+    """kNN matching of route SEGMENTS to nearest POIs (north_rule:
+    "kNN matching of route segments to nearest POIs via cell-neighbor
+    ring expansion") — the segment-geometry lift of ``knn_poi``.
+
+    Plan: per-user trackpoint ordering (the ONE shuffle — co-locate
+    by track key, sort inside the group) forms consecutive-point
+    segments with centidegree endpoints; a broadcast ``PoiIndex``
+    then serves the expanding-disk walk in
+    ``knn.nearest_poi_segment`` inside ``map_batches`` — zero
+    additional exchanges. Distances are exact int64 rationals
+    ``d2_num / d2_den`` with a per-segment common denominator, so the
+    DuckDB HUGEINT CASE oracle replays winners AND ties bit-for-bit
+    (see the kernel docstring for the num/den table)."""
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)
+    plat_cd, plon_cd = poi_latlon_cd(pk)
+    index = knn.PoiIndex(
+        pk, plat_cd / 100.0, plon_cd / 100.0, level=POI_INDEX_LEVEL,
+        metric_lat=plat_cd.astype(np.float64), metric_lon=plon_cd.astype(np.float64),
+        metric_scale=100.0,
+    )
+    idx_ref = ray.put(index)
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def segs_of_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        e = df["event_id"].to_numpy(np.int64)
+        cols = ["seg_id", "alat", "alon", "blat", "blon"]
+        if len(e) < 2:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        lat_cd, lon_cd = event_latlon_cd(e)
+        seg_id = e[:-1]
+        keep = seg_id % SEG_SUBSET_MOD == 0
+        return pd.DataFrame(
+            {
+                "seg_id": seg_id[keep],
+                "alat": lat_cd[:-1][keep],
+                "alon": lon_cd[:-1][keep],
+                "blat": lat_cd[1:][keep],
+                "blon": lon_cd[1:][keep],
+            }
+        )
+
+    segs = ds.groupby("user_id").map_groups(segs_of_user, batch_format="pandas")
+    joined = segs.map_batches(
+        stages.knn_segment_join_batch,
+        fn_kwargs={"index_ref": idx_ref},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["seg_id", "poi_id", "d2_num", "d2_den"]).rename_columns(
+            ["seg_id", "poi_partkey", "d2_num", "d2_den"]
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_KNN_SEGMENT_POI = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts, {EVENT_LAT_CD} AS lat_cd, {EVENT_LON_CD} AS lon_cd
+  FROM events
+), segs0 AS (
+  SELECT event_id AS seg_id, lat_cd AS alat, lon_cd AS alon,
+    LEAD(lat_cd) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS blat,
+    LEAD(lon_cd) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS blon
+  FROM pts
+), segs AS (
+  SELECT * FROM segs0 WHERE blat IS NOT NULL AND seg_id % {SEG_SUBSET_MOD} = 0
+), pois AS (
+  SELECT p_partkey, {POI_LAT_CD} AS plat, {POI_LON_CD} AS plon FROM part
+), cand AS (
+  SELECT s.seg_id, p.p_partkey,
+    CAST(s.blon - s.alon AS HUGEINT) AS sdx, CAST(s.blat - s.alat AS HUGEINT) AS sdy,
+    CAST(p.plon - s.alon AS HUGEINT) AS wx, CAST(p.plat - s.alat AS HUGEINT) AS wy,
+    CAST(p.plon - s.blon AS HUGEINT) AS vx, CAST(p.plat - s.blat AS HUGEINT) AS vy
+  FROM segs s CROSS JOIN pois p
+), scored AS (
+  SELECT seg_id, p_partkey, sdx * sdx + sdy * sdy AS len2,
+    CASE WHEN sdx * sdx + sdy * sdy = 0 THEN wx * wx + wy * wy
+         WHEN wx * sdx + wy * sdy <= 0
+           THEN (wx * wx + wy * wy) * (sdx * sdx + sdy * sdy)
+         WHEN wx * sdx + wy * sdy >= sdx * sdx + sdy * sdy
+           THEN (vx * vx + vy * vy) * (sdx * sdx + sdy * sdy)
+         ELSE (sdx * wy - sdy * wx) * (sdx * wy - sdy * wx) END AS num
+  FROM cand
+)
+SELECT seg_id, p_partkey AS poi_partkey, CAST(num AS BIGINT) AS d2_num,
+  CAST(CASE WHEN len2 = 0 THEN 1 ELSE len2 END AS BIGINT) AS d2_den
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY seg_id ORDER BY num, p_partkey) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 # =========================================================================
 # Documents: dedup + text analysis
 # =========================================================================
@@ -2180,6 +2286,7 @@ QUERIES: dict[str, tuple] = {
     "order_status_priority": (q_order_status_priority, SQL_ORDER_STATUS_PRIORITY),
     "knn3_poi": (q_knn3_poi, SQL_KNN3_POI),
     "radius_poi": (q_radius_poi, SQL_RADIUS_POI),
+    "knn_segment_poi": (q_knn_segment_poi, SQL_KNN_SEGMENT_POI),
     "image_phash_dedup": (q_image_phash_dedup, _sql_image_phash_dedup),
     "geo_phash_near_dup": (q_geo_phash_near_dup, _sql_geo_phash_near_dup),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),

@@ -288,3 +288,116 @@ def k_nearest_poi(
         best_idx[unresolved, :kk] = order
         best_d2[unresolved, :kk] = d2_all[rowsel, order]
     return best_idx, best_d2
+
+
+def nearest_poi_segment(
+    alat: np.ndarray,
+    alon: np.ndarray,
+    blat: np.ndarray,
+    blon: np.ndarray,
+    index: PoiIndex,
+    max_ring: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact nearest POI for each route SEGMENT a→b by point-to-
+    segment distance — the north_rule's "kNN matching of route
+    segments to nearest POIs via cell-neighbor ring expansion" as a
+    first-class kernel (:func:`nearest_poi` is the point form;
+    reference analog: the per-point nearest-sample join the channel
+    cursor performs, channel_mapper.dart:103-156, lifted to segment
+    geometry).
+
+    Inputs are the index's METRIC coordinates (integer centidegrees
+    for SQL parity). Per segment, every candidate's squared distance
+    is the rational ``num / den`` with one SHARED denominator
+    ``den = max(len2, 1)``, so winners and exact ties reduce to
+    int64 comparisons that a DuckDB HUGEINT CASE replays bit-for-bit:
+
+    ``len2 = |b−a|²``, ``dot = (p−a)·(b−a)``, ``cross = (b−a)×(p−a)``
+
+    - ``len2 == 0`` (degenerate): ``num = |p−a|²``, ``den = 1``
+    - ``dot ≤ 0`` (foot before a): ``num = |p−a|²·len2``
+    - ``dot ≥ len2`` (foot past b): ``num = |p−b|²·len2``
+    - else (perpendicular foot inside): ``num = cross²``
+
+    int64 headroom: centidegree coords ≤ 36 000, so point-point
+    d2 ≤ 1.62e9 and num ≤ 2.63e18 < 2^63.
+
+    Cell walk: expanding disks around the segment MIDPOINT cell; a
+    POI beyond ring r is at metric distance ≥ r·cell from the
+    midpoint, hence ≥ r·cell − |seg|/2 from the segment, so a
+    segment resolves once its best distance is under that bound.
+    Ties break to the smallest POI id. Returns
+    ``(poi_row_index, num, den)``; row −1 where the index is empty.
+    """
+    alat = np.asarray(alat, dtype=np.int64)
+    alon = np.asarray(alon, dtype=np.int64)
+    blat = np.asarray(blat, dtype=np.int64)
+    blon = np.asarray(blon, dtype=np.int64)
+    n = len(alat)
+    sdx = blon - alon
+    sdy = blat - alat
+    len2 = sdx * sdx + sdy * sdy
+    den = np.where(len2 == 0, np.int64(1), len2)
+    half_len = np.sqrt(len2.astype(np.float64)) / 2.0
+    pid = index.poi_ids
+    plon_i = index.mlon.astype(np.int64)
+    plat_i = index.mlat.astype(np.int64)
+
+    def score(seg_rows: np.ndarray, poi_rows: np.ndarray) -> np.ndarray:
+        wx = plon_i[poi_rows] - alon[seg_rows]
+        wy = plat_i[poi_rows] - alat[seg_rows]
+        vx = plon_i[poi_rows] - blon[seg_rows]
+        vy = plat_i[poi_rows] - blat[seg_rows]
+        x, y, l2 = sdx[seg_rows], sdy[seg_rows], len2[seg_rows]
+        dot = wx * x + wy * y
+        d2a = wx * wx + wy * wy
+        d2b = vx * vx + vy * vy
+        cross = x * wy - y * wx
+        return np.where(
+            l2 == 0,
+            d2a,
+            np.where(dot <= 0, d2a * l2, np.where(dot >= l2, d2b * l2, cross * cross)),
+        )
+
+    best_idx = np.full(n, -1, dtype=np.int64)
+    best_num = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    cell_metric = 180.0 / (1 << index.level) * index.metric_scale
+    mid_lat_deg = (alat + blat) / 2.0 / (index.metric_scale or 1.0)
+    mid_lon_deg = (alon + blon) / 2.0 / (index.metric_scale or 1.0)
+    base_cell = cells.cell_id(mid_lat_deg, mid_lon_deg, index.level)
+    unresolved = np.arange(n)
+    r = 0
+    while len(unresolved) and r <= max_ring:
+        disk = cells.disk_cells(base_cell[unresolved], index.level, r)
+        m, w = disk.shape
+        counts, poi_rows = index.pois_in_cells(disk.ravel())
+        if poi_rows.size:
+            seg_of_cand = unresolved[np.repeat(np.arange(m * w) // w, counts)]
+            num = score(seg_of_cand, poi_rows)
+            # disks are nested: the (num, poi_id) lexsort winner over
+            # the current disk is authoritative for its segment
+            key = np.lexsort((pid[poi_rows], num, seg_of_cand))
+            segs_s = seg_of_cand[key]
+            first = np.ones(len(segs_s), dtype=bool)
+            first[1:] = segs_s[1:] != segs_s[:-1]
+            win = segs_s[first]
+            best_idx[win] = poi_rows[key][first]
+            best_num[win] = num[key][first]
+        have = best_idx[unresolved] >= 0
+        dist = np.sqrt(
+            best_num[unresolved].astype(np.float64)
+            / den[unresolved].astype(np.float64)
+        )
+        resolved = have & (dist <= r * cell_metric - half_len[unresolved])
+        unresolved = unresolved[~resolved]
+        r += 1
+    if len(unresolved) and pid.size:
+        # POI deserts: exact brute force of the stragglers against
+        # the (broadcast-small) POI side, same formula
+        all_pois = np.arange(pid.size, dtype=np.int64)
+        for s in unresolved:
+            num = score(np.full(pid.size, s, dtype=np.int64), all_pois)
+            key = np.lexsort((pid, num))
+            best_idx[s] = key[0]
+            best_num[s] = num[key[0]]
+    return best_idx, best_num, den

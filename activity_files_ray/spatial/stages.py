@@ -487,3 +487,41 @@ def knn_k_join_batch(
         .append_column("poi_id", pa.array(index.poi_ids[poi_rows].tolist(), type=id_type))
         .append_column("dist2_deg", pa.array(d2.ravel()[found.ravel()]))
     )
+
+
+def knn_segment_join_batch(
+    batch: pa.Table,
+    index_ref: Any,
+    alat_col: str = "alat",
+    alon_col: str = "alon",
+    blat_col: str = "blat",
+    blon_col: str = "blon",
+) -> pa.Table:
+    """Segment→nearest-POI join (task form, worker-cached broadcast
+    index): each row is a route segment with integer-metric endpoint
+    columns; appends ``poi_id`` plus the EXACT rational distance
+    ``d2_num / d2_den`` from :func:`knn.nearest_poi_segment`. Rows
+    with no POI (empty index) are dropped."""
+    index: knn.PoiIndex = _resolve_cached(index_ref)
+    row, num, den = knn.nearest_poi_segment(
+        batch[alat_col].to_numpy(zero_copy_only=False),
+        batch[alon_col].to_numpy(zero_copy_only=False),
+        batch[blat_col].to_numpy(zero_copy_only=False),
+        batch[blon_col].to_numpy(zero_copy_only=False),
+        index,
+    )
+    found = row >= 0
+    out = (
+        batch.append_column(
+            "poi_id",
+            pa.array(
+                index.poi_ids[np.clip(row, 0, None)],
+                type=pa.from_numpy_dtype(index.poi_ids.dtype)
+                if index.poi_ids.dtype != object
+                else pa.string(),
+            ),
+        )
+        .append_column("d2_num", pa.array(num))
+        .append_column("d2_den", pa.array(den))
+    )
+    return out.filter(pa.array(found))

@@ -467,3 +467,100 @@ class TestRadiusJoin:
             np.array([0.0]), np.array([0.0]), empty_idx, 100.0,
             metric_lat=np.array([0.0]), metric_lon=np.array([0.0]))
         assert len(pt) == 0
+
+
+class TestSegmentKnn:
+    """Segment→POI kNN (north_rule: route segments to nearest POIs):
+    exact rational num/den distances == brute force, including
+    degenerate zero-length segments and smallest-id tie-breaks."""
+
+    def _index(self, pk, lat_cd, lon_cd, level=7):
+        from activity_files_ray.spatial import knn
+
+        return knn.PoiIndex(
+            pk, lat_cd / 100.0, lon_cd / 100.0, level=level,
+            metric_lat=lat_cd.astype(np.float64),
+            metric_lon=lon_cd.astype(np.float64), metric_scale=100.0,
+        )
+
+    @staticmethod
+    def _brute(alat, alon, blat, blon, plat, plon, pid):
+        sdx, sdy = blon - alon, blat - alat
+        l2 = sdx * sdx + sdy * sdy
+        wx, wy = plon - alon, plat - alat
+        vx, vy = plon - blon, plat - blat
+        dot = wx * sdx + wy * sdy
+        d2a, d2b = wx * wx + wy * wy, vx * vx + vy * vy
+        cross = sdx * wy - sdy * wx
+        num = np.where(
+            l2 == 0, d2a,
+            np.where(dot <= 0, d2a * l2,
+                     np.where(dot >= l2, d2b * l2, cross * cross)),
+        )
+        key = np.lexsort((pid, num))
+        return key[0], num[key[0]], (1 if l2 == 0 else l2)
+
+    def test_matches_bruteforce(self):
+        from activity_files_ray.spatial import knn
+
+        rng = np.random.default_rng(31)
+        P, S = 350, 400
+        pid = rng.permutation(P * 3)[:P].astype(np.int64)
+        plat = rng.integers(-8500, 8500, P)
+        plon = rng.integers(-17500, 17500, P)
+        idx = self._index(pid, plat.astype(float), plon.astype(float))
+        alat = rng.integers(-8500, 8500, S)
+        alon = rng.integers(-17500, 17500, S)
+        blat = alat + rng.integers(-400, 400, S)
+        blon = alon + rng.integers(-400, 400, S)
+        blat[:6], blon[:6] = alat[:6], alon[:6]  # degenerate segments
+        row, num, den = knn.nearest_poi_segment(alat, alon, blat, blon, idx)
+        for i in range(S):
+            bi, bn, bd = self._brute(
+                alat[i], alon[i], blat[i], blon[i], plat, plon, pid
+            )
+            assert (row[i], num[i], den[i]) == (bi, bn, bd), i
+
+    def test_interior_foot_beats_endpoints(self):
+        """A POI whose perpendicular foot lies inside one segment must
+        use the cross²/len2 distance, not an endpoint distance."""
+        from activity_files_ray.spatial import knn
+
+        pid = np.array([7], dtype=np.int64)
+        # horizontal segment y=0, x in [0, 1000]; POI at (500, 30)
+        idx = self._index(pid, np.array([30.0]), np.array([500.0]))
+        row, num, den = knn.nearest_poi_segment(
+            np.array([0]), np.array([0]), np.array([0]), np.array([1000])
+        , idx)
+        assert row[0] == 0
+        assert den[0] == 1000 * 1000
+        assert num[0] == (1000 * 30) ** 2  # cross², i.e. 30cd ⊥ distance
+
+    def test_tie_breaks_to_smallest_poi_id(self):
+        from activity_files_ray.spatial import knn
+
+        # two POIs mirrored across the segment: exact equal distance
+        pid = np.array([9, 4], dtype=np.int64)
+        idx = self._index(pid, np.array([50.0, -50.0]), np.array([500.0, 500.0]))
+        row, num, _den = knn.nearest_poi_segment(
+            np.array([0]), np.array([0]), np.array([0]), np.array([1000]), idx
+        )
+        assert idx.poi_ids[row[0]] == 4
+        assert num[0] == (1000 * 50) ** 2
+
+    def test_desert_straggler_fallback(self):
+        from activity_files_ray.spatial import knn
+
+        # one far-away POI: ring walk exhausts, brute-force kicks in
+        pid = np.array([1], dtype=np.int64)
+        idx = self._index(pid, np.array([8000.0]), np.array([17000.0]))
+        row, num, den = knn.nearest_poi_segment(
+            np.array([-8000]), np.array([-17000]),
+            np.array([-7990]), np.array([-16990]), idx,
+        )
+        assert row[0] == 0 and den[0] == 200
+        bi, bn, bd = self._brute(
+            -8000, -17000, -7990, -16990,
+            np.array([8000]), np.array([17000]), pid,
+        )
+        assert (num[0], den[0]) == (bn, bd)
