@@ -353,6 +353,7 @@ def _verify_jaccard_distributed(
     shingle_k: int,
     threshold: float,
     as_dataset: bool = False,
+    sketch_col: str | None = None,
 ):
     """Exact-Jaccard verification of candidate pairs WITHOUT fetching
     texts to the driver (r2 judge item 2). The driver holds only the
@@ -373,7 +374,12 @@ def _verify_jaccard_distributed(
     Shuffle volume is O(candidate sketches + pair rows) — compare
     carrying the text on every band-bucket row, which re-ships the
     corpus ×bands. Results are bit-identical to the driver fold
-    (same shingle sets, same ``np.intersect1d`` Jaccard)."""
+    (same shingle sets, same ``np.intersect1d`` Jaccard).
+
+    ``sketch_col``: when the corpus Dataset already carries the
+    serialized shingle sketch (e.g. the dedup JOB's phase-1 signature
+    files), read it instead of re-shingling ``text_col`` — phase 2
+    then never touches document bodies at all."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -386,13 +392,17 @@ def _verify_jaccard_distributed(
     idset = pa.array(cand_ids)
 
     def sketch_batch(t: pa.Table) -> pd.DataFrame:
-        sub = t.select([id_col, text_col])
+        src_col = sketch_col if sketch_col is not None else text_col
+        sub = t.select([id_col, src_col])
         sub = sub.filter(pc.is_in(sub[id_col], value_set=idset))
         df = sub.to_pandas()
-        sk = [
-            shingle_set(x if isinstance(x, str) else "", shingle_k).tobytes()
-            for x in df[text_col]
-        ]
+        if sketch_col is not None:
+            sk = [bytes(x) if x is not None else b"\0" * 8 for x in df[src_col]]
+        else:
+            sk = [
+                shingle_set(x if isinstance(x, str) else "", shingle_k).tobytes()
+                for x in df[src_col]
+            ]
         return pd.DataFrame(
             {
                 "doc_id": df[id_col].astype(str),
