@@ -549,6 +549,23 @@ def q_pip_regions(sf_dir: str):
     )
 
 
+def q_pip_regions_copart(sf_dir: str):
+    """The SAME PIP join as ``pip_regions`` but through the
+    co-partitioned plan (`stages.pip_join_copartitioned`): polygons as
+    a DATASET, both sides hash-joined on (prefix cell, salt), exact
+    ray-cast after the join — the no-broadcast path for polygon sets
+    too large to hold per worker. Same oracle as ``pip_regions``
+    (identical output rows by construction; parity also pinned in
+    tests/test_spatial.py)."""
+    pts = _derived_points_ds(sf_dir)
+    joined = stages.pip_join_copartitioned(
+        pts, list(ORACLE_REGIONS), salt=2
+    )
+    return agg.tree_aggregate(
+        joined.select_columns(["region_id"]), ["region_id"], {"n": ("", "count")}
+    )
+
+
 def _sql_pip_regions() -> str:
     parts = [
         f"SELECT '{p.region_id}' AS region_id FROM events "
@@ -2258,6 +2275,7 @@ QUERIES: dict[str, tuple] = {
     "cell_counts": (q_cell_counts, SQL_CELL_COUNTS),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
+    "pip_regions_copart": (q_pip_regions_copart, SQL_PIP_REGIONS),
     "knn_poi": (q_knn_poi, SQL_KNN_POI),
     "doc_dedup_exact": (q_doc_dedup_exact, SQL_DOC_DEDUP_EXACT),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),

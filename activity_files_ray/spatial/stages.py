@@ -525,3 +525,204 @@ def knn_segment_join_batch(
         .append_column("d2_den", pa.array(den))
     )
     return out.filter(pa.array(found))
+
+
+# ------------------------------------------------------------------ J5b:
+# co-partitioned PIP join — the polygon side as a DATASET, for polygon
+# sets too large to broadcast (the complement of PipJoiner/J5).
+
+
+def polygons_to_table(polys: list[polygons.Polygon]) -> pa.Table:
+    """Polygon rows as an Arrow table (region_id, vlat, vlon) — the
+    Dataset-side input shape of :func:`pip_join_copartitioned`."""
+    return pa.table(
+        {
+            "region_id": pa.array([p.region_id for p in polys], type=pa.string()),
+            "vlat": pa.array([p.lat.tolist() for p in polys], type=pa.list_(pa.float64())),
+            "vlon": pa.array([p.lon.tolist() for p in polys], type=pa.list_(pa.float64())),
+        }
+    )
+
+
+def _point_salt(lat: np.ndarray, lon: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic per-point salt from the coordinate bits (no RNG:
+    reruns and retries land every point in the same salt replica)."""
+    if salt <= 1:
+        return np.zeros(lat.size, dtype=np.int32)
+    h = lat.astype(np.float64).view(np.int64) * np.int64(-7046029254386353131)
+    h ^= lon.astype(np.float64).view(np.int64) * np.int64(7046029254386353137)
+    return ((h & np.int64(0x7FFFFFFFFFFFFFFF)) % salt).astype(np.int32)
+
+
+
+def _copart_cover_batch(t: pa.Table, level: int, salt: int) -> pa.Table:
+    """Expand polygon rows to (cell, salt)-keyed cover rows carrying
+    the ring vertices — one row per covering prefix cell per salt
+    replica. The vertex payload crosses the exchange once per cover
+    row, NOT once per candidate point."""
+    vlat = t["vlat"].to_pylist()
+    vlon = t["vlon"].to_pylist()
+    covers = [
+        cells.covering_cells_bbox(min(la), max(la), min(lo), max(lo), level)
+        for la, lo in zip(vlat, vlon)
+    ]
+    reps = np.asarray([c.size for c in covers], dtype=np.int64)
+    cell = np.concatenate(covers) if covers else np.empty(0, dtype=np.int64)
+    poly_idx = np.repeat(np.arange(len(covers), dtype=np.int64), reps)
+    cell = np.tile(cell, salt)
+    poly_idx = np.tile(poly_idx, salt)
+    saltv = np.repeat(np.arange(salt, dtype=np.int32), int(reps.sum()))
+    take = pa.array(poly_idx)
+    # vertices packed (lat..., lon...) float64 into ONE binary column:
+    # Arrow's hash join ships binary payloads but rejects list types
+    verts = [
+        np.asarray(la, dtype=np.float64).tobytes()
+        + np.asarray(lo, dtype=np.float64).tobytes()
+        for la, lo in zip(vlat, vlon)
+    ]
+    return pa.table(
+        {
+            "_pp_cell": pa.array(cell),
+            "_pp_salt": pa.array(saltv),
+            "_pp_region": t["region_id"].take(take),
+            "_pp_verts": pa.array(
+                [verts[i] for i in poly_idx], type=pa.binary()
+            ),
+        }
+    )
+
+
+def _copart_tag_points_batch(
+    t: pa.Table, level: int, salt: int, lat_col: str, lon_col: str
+) -> pa.Table:
+    lat = t[lat_col].to_numpy(zero_copy_only=False)
+    lon = t[lon_col].to_numpy(zero_copy_only=False)
+    return t.append_column(
+        "_pp_cell", pa.array(cells.cell_id(lat, lon, level))
+    ).append_column("_pp_salt", pa.array(_point_salt(lat, lon, salt)))
+
+
+def _copart_exact_batch(t: pa.Table, lat_col: str, lon_col: str) -> pa.Table:
+    """Exact ray-cast over hash-join candidate rows. Rows are (point
+    columns + _pp_region/_pp_verts); each DISTINCT region in
+    the batch is materialized as a Polygon once and tested against
+    all its candidate rows in one vectorized call."""
+    drop = ["_pp_cell", "_pp_salt", "_pp_region", "_pp_verts"]
+    if t.num_rows == 0:
+        return t.drop_columns(drop).append_column(
+            "region_id", pa.array([], type=pa.string())
+        )
+    lat = t[lat_col].to_numpy(zero_copy_only=False)
+    lon = t[lon_col].to_numpy(zero_copy_only=False)
+    rid = np.asarray(t["_pp_region"].to_pandas(), dtype=object)
+    order = np.argsort(rid, kind="stable")
+    srid = rid[order]
+    bounds = np.flatnonzero(np.concatenate(([True], srid[1:] != srid[:-1])))
+    ends = np.append(bounds[1:], srid.size)
+    verts_col = t["_pp_verts"]
+    keep: list[np.ndarray] = []
+    for s, e in zip(bounds, ends):
+        rows = order[s:e]
+        blob = verts_col[int(rows[0])].as_py()
+        flat = np.frombuffer(blob, dtype=np.float64)
+        nv = flat.size // 2
+        poly = polygons.Polygon(
+            str(srid[s]), str(srid[s]), flat[:nv], flat[nv:]
+        )
+        hit = polygons.points_in_polygon(lat[rows], lon[rows], poly)
+        if hit.any():
+            keep.append(rows[hit])
+    if not keep:
+        return t.slice(0, 0).drop_columns(drop).append_column(
+            "region_id", pa.array([], type=pa.string())
+        )
+    idx = np.sort(np.concatenate(keep), kind="stable")
+    out = t.take(pa.array(idx))
+    region = out["_pp_region"]
+    return out.drop_columns(drop).append_column(
+        "region_id", region.cast(pa.string())
+    )
+
+
+def pip_join_copartitioned(
+    points_ds,
+    polys,
+    *,
+    level: int = cells.LEVEL_PREFIX,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    salt: int = 1,
+    num_partitions: int | None = None,
+):
+    """Co-partitioned (reduce-side) PIP join for polygon sets TOO
+    LARGE TO BROADCAST (the complement of J5's :class:`PipJoiner`).
+
+    The broadcast path needs every worker to hold the whole polygon
+    index; admin boundaries fit, a continental parcel/cadastre layer
+    does not. Here NEITHER side is materialized anywhere:
+
+      points   → tag (cell, salt)        [map_batches, streaming]
+      polygons → cover rows (cell, salt) [one row per covering prefix
+                 cell × salt replica, vertices ride along once]
+      inner hash join on (cell, salt)    [Ray Data's native join —
+                 the one all-to-all exchange]
+      exact ray-cast per candidate row   [map_batches, vectorized per
+                 distinct region in each batch]
+
+    Every point lives in exactly one (cell, salt) partition and meets
+    each covering polygon exactly once, so output rows are IDENTICAL
+    to the broadcast path (pinned in tests/test_spatial.py). Skew: a
+    hot cell (popular route) lands on one join partition; ``salt``
+    splits its points across ``salt`` replicas at the cost of
+    shipping that cell's cover rows ``salt`` times — the same
+    replicate-small-side salting as the aggregate stages. The join
+    output carries each candidate's vertex payload per row for one
+    streaming map_batches stage, which prunes it immediately; at 10^12
+    points keep ``num_partitions`` high enough that a partition's
+    candidates fit in an aggregator's heap (default ≈4× cluster
+    cores via ``agg.default_n_buckets``).
+
+    ``polys``: a ``ray.data.Dataset`` with columns (region_id:string,
+    vlat:list<f64>, vlon:list<f64>), or a driver-side
+    ``list[Polygon]`` (converted via :func:`polygons_to_table` — the
+    small-layer / parity-test path)."""
+    import ray.data as rd
+
+    from ..pipelines import agg
+
+    if isinstance(polys, list):
+        polys = rd.from_arrow(polygons_to_table(polys))
+    if num_partitions is None:
+        num_partitions = agg.default_n_buckets()
+    reserved = {"_pp_cell", "_pp_salt", "_pp_region", "_pp_verts"}
+    schema = points_ds.schema()
+    if reserved & set(schema.names):
+        raise ValueError(f"points columns collide with {sorted(reserved)}")
+
+    cover = polys.map_batches(
+        _copart_cover_batch,
+        fn_kwargs={"level": level, "salt": salt},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    tagged = points_ds.map_batches(
+        _copart_tag_points_batch,
+        fn_kwargs={
+            "level": level, "salt": salt,
+            "lat_col": lat_col, "lon_col": lon_col,
+        },
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    joined = tagged.join(
+        cover,
+        "inner",
+        num_partitions=num_partitions,
+        on=("_pp_cell", "_pp_salt"),
+    )
+    return joined.map_batches(
+        _copart_exact_batch,
+        fn_kwargs={"lat_col": lat_col, "lon_col": lon_col},
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -564,3 +564,102 @@ class TestSegmentKnn:
             np.array([8000]), np.array([17000]), pid,
         )
         assert (num[0], den[0]) == (bn, bd)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCopartitionedPip:
+    """J5b: co-partitioned PIP join (polygon side as a Dataset, hash
+    join on (prefix cell, salt)) must equal the broadcast path row for
+    row — including under salting, which reshapes the shuffle but not
+    the candidate sets."""
+
+    def _points(self, n=4000, seed=7):
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "pid": np.arange(n, dtype=np.int64),
+                "lat": rng.uniform(-60, 60, n),
+                "lon": rng.uniform(-170, 170, n),
+            }
+        )
+
+    def _broadcast(self, ds, polys):
+        import ray
+
+        from activity_files_ray.functions import polygons as P
+
+        ref = ray.put(P.PolygonIndex(polys))
+        return (
+            ds.map_batches(
+                stages.pip_join_batch,
+                fn_kwargs={"index_ref": ref},
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .to_pandas()
+            .sort_values(["pid", "region_id"])
+            .reset_index(drop=True)
+        )
+
+    @pytest.mark.parametrize("salt", [1, 3])
+    def test_matches_broadcast_path(self, salt):
+        import ray.data as rd
+
+        from activity_files_ray import fixtures
+
+        polys = fixtures.make_regions() + fixtures.make_region_grid()
+        ds = rd.from_pandas(self._points()).repartition(4)
+        want = self._broadcast(ds, polys)
+        got = (
+            stages.pip_join_copartitioned(
+                ds, polys, salt=salt, num_partitions=8
+            )
+            .to_pandas()[["pid", "lat", "lon", "region_id"]]
+            .sort_values(["pid", "region_id"])
+            .reset_index(drop=True)
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(
+            got.astype(want.dtypes.to_dict()), want
+        )
+
+    def test_polygon_dataset_input(self):
+        """The scale path: polygons arrive as a Dataset (never on the
+        driver), points keep extra columns through the join."""
+        import ray.data as rd
+
+        from activity_files_ray import fixtures
+
+        polys = fixtures.make_regions()
+        pdf = self._points(n=1500, seed=11)
+        pdf["tag"] = (pdf["pid"] % 5).astype(np.int64)
+        ds = rd.from_pandas(pdf).repartition(3)
+        polys_ds = rd.from_arrow(stages.polygons_to_table(polys)).repartition(2)
+        got = (
+            stages.pip_join_copartitioned(ds, polys_ds, num_partitions=4)
+            .to_pandas()
+            .sort_values(["pid", "region_id"])
+            .reset_index(drop=True)
+        )
+        want = self._broadcast(ds, polys)[["pid", "lat", "lon", "region_id"]]
+        assert list(got.columns) == ["pid", "lat", "lon", "tag", "region_id"]
+        assert got["pid"].dtype == np.int64  # no null-upcast through the join
+        pd.testing.assert_frame_equal(
+            got[["pid", "lat", "lon", "region_id"]].astype(want.dtypes.to_dict()),
+            want,
+        )
+        assert (got["tag"] == got["pid"] % 5).all()
+
+    def test_reserved_column_collision_raises(self):
+        import ray.data as rd
+
+        from activity_files_ray import fixtures
+
+        pdf = self._points(n=10)
+        pdf["_pp_cell"] = 0
+        with pytest.raises(ValueError, match="_pp_cell"):
+            stages.pip_join_copartitioned(
+                rd.from_pandas(pdf), fixtures.make_regions()
+            )
