@@ -655,6 +655,56 @@ SELECT event_id, poi_partkey, dist2_cd FROM (
 """
 
 
+def q_knn_poi_copart(sf_dir: str, subset_mod: int = KNN_SUBSET_MOD):
+    """The SAME kNN join as ``knn_poi`` but through the co-partitioned
+    plan (`stages.knn_join_copartitioned`): POIs as a DATASET, both
+    sides exchanged once per escalation round on hash(cell) — the
+    no-broadcast path for POI sets too large to hold per worker. Same
+    centidegree metric, same oracle (identical winners by
+    construction; parity also pinned in tests/test_spatial.py)."""
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)
+    plat_cd, plon_cd = poi_latlon_cd(pk)
+    order = np.argsort(pk)
+    pk_s, plat_s, plon_s = pk[order], plat_cd[order], plon_cd[order]
+
+    def subset(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy()
+        return b.filter(pa.array(e % subset_mod == 0))
+
+    pts = _derived_points_ds(sf_dir).map_batches(
+        subset, batch_format="pyarrow", batch_size=None
+    )
+    joined = stages.knn_join_copartitioned(
+        pts,
+        stages.pois_to_table(
+            pk, plat_cd / 100.0, plon_cd / 100.0,
+            metric_lat=plat_cd.astype(np.float64),
+            metric_lon=plon_cd.astype(np.float64),
+        ),
+        metric_lat_col="lat_cd",
+        metric_lon_col="lon_cd",
+        metric_scale=100.0,
+        level=POI_INDEX_LEVEL,
+    )
+
+    def int_dist(batch: pa.Table) -> pa.Table:
+        poi = batch["poi_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(pk_s, poi)
+        d2 = (batch["lat_cd"].to_numpy() - plat_s[pos]) ** 2 + (
+            batch["lon_cd"].to_numpy() - plon_s[pos]
+        ) ** 2
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "poi_partkey": pa.array(poi),
+                "dist2_cd": pa.array(d2.astype(np.int64)),
+            }
+        )
+
+    return joined.map_batches(int_dist, batch_format="pyarrow", batch_size=None)
+
+
 RADIUS_CD = 300.0  # range-join radius in centidegrees (3°)
 
 
@@ -2277,6 +2327,7 @@ QUERIES: dict[str, tuple] = {
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
     "pip_regions_copart": (q_pip_regions_copart, SQL_PIP_REGIONS),
     "knn_poi": (q_knn_poi, SQL_KNN_POI),
+    "knn_poi_copart": (q_knn_poi_copart, SQL_KNN_POI),
     "doc_dedup_exact": (q_doc_dedup_exact, SQL_DOC_DEDUP_EXACT),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "doc_fingerprint_groups": (q_doc_fingerprint_groups, SQL_DOC_FINGERPRINT),

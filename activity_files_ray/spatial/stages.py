@@ -726,3 +726,299 @@ def pip_join_copartitioned(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+# ------------------------------------------------------------------ J6b:
+# co-partitioned kNN join — the POI side as a DATASET, for POI sets
+# too large to broadcast (the complement of KnnPoiJoiner/J6).
+
+
+def pois_to_table(
+    poi_ids: np.ndarray,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    metric_lat: np.ndarray | None = None,
+    metric_lon: np.ndarray | None = None,
+) -> pa.Table:
+    """POI rows as an Arrow table (poi_id, lat, lon, mlat, mlon) — the
+    Dataset-side input shape of :func:`knn_join_copartitioned`.
+    ``metric_*`` default to the degree coordinates (same contract as
+    :class:`knn.PoiIndex`)."""
+    mlat = np.asarray(metric_lat if metric_lat is not None else lat, dtype=np.float64)
+    mlon = np.asarray(metric_lon if metric_lon is not None else lon, dtype=np.float64)
+    return pa.table(
+        {
+            "poi_id": pa.array(np.asarray(poi_ids)),
+            "lat": pa.array(np.asarray(lat, dtype=np.float64)),
+            "lon": pa.array(np.asarray(lon, dtype=np.float64)),
+            "mlat": pa.array(mlat),
+            "mlon": pa.array(mlon),
+        }
+    )
+
+
+def _kc_bucket_of(cell: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic cell→bucket hash, identical on both join sides
+    (splitmix64-style mix so consecutive cell ids spread)."""
+    with np.errstate(over="ignore"):
+        h = cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(31)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _knn_tag_points_batch(
+    t: pa.Table,
+    lat_col: str,
+    lon_col: str,
+    level: int,
+    n_buckets: int,
+    poi_id_type: pa.DataType,
+) -> pa.Table:
+    """Point side of the union: level-``level`` cell + bucket, POI
+    payload columns null (schema must match the cover side exactly
+    for ``Dataset.union``)."""
+    lat = t[lat_col].to_numpy(zero_copy_only=False)
+    lon = t[lon_col].to_numpy(zero_copy_only=False)
+    cell = cells.cell_id(lat, lon, level)
+    n = t.num_rows
+    return (
+        t.append_column("_kc_cell", pa.array(cell))
+        .append_column("_kc_side", pa.array(np.zeros(n, dtype=np.int8)))
+        .append_column("_kc_poi", pa.nulls(n, poi_id_type))
+        .append_column("_kc_mlat", pa.nulls(n, pa.float64()))
+        .append_column("_kc_mlon", pa.nulls(n, pa.float64()))
+        .append_column("_kc_bucket", pa.array(_kc_bucket_of(cell, n_buckets)))
+    )
+
+
+def _knn_cover_batch(
+    t: pa.Table,
+    level: int,
+    n_buckets: int,
+    point_fields: list[tuple[str, pa.DataType]],
+) -> pa.Table:
+    """POI side of the union: replicate each POI to the 3×3 cell halo
+    around its own cell at ``level`` — a CONSTANT 9× per round,
+    independent of halo reach (reach grows by COARSENING the level
+    instead of widening the halo). Point columns ride as nulls so the
+    two sides union. Pole-clamped duplicate cells from ``disk_cells``
+    merely duplicate a candidate pair; the (d2, id)-lexsort winner is
+    unaffected."""
+    lat = t["lat"].to_numpy(zero_copy_only=False)
+    lon = t["lon"].to_numpy(zero_copy_only=False)
+    halo = cells.disk_cells(cells.cell_id(lat, lon, level), level, 1)
+    n, w = halo.shape
+    take = pa.array(np.repeat(np.arange(n, dtype=np.int64), w))
+    cell = halo.ravel()
+    m = cell.size
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        name: pa.nulls(m, typ) for name, typ in point_fields
+    }
+    cols["_kc_cell"] = pa.array(cell)
+    cols["_kc_side"] = pa.array(np.ones(m, dtype=np.int8))
+    cols["_kc_poi"] = t["poi_id"].take(take)
+    cols["_kc_mlat"] = t["mlat"].take(take)
+    cols["_kc_mlon"] = t["mlon"].take(take)
+    cols["_kc_bucket"] = pa.array(_kc_bucket_of(cell, n_buckets))
+    return pa.table(cols)
+
+
+_KC_DROP = ["_kc_cell", "_kc_side", "_kc_poi", "_kc_mlat", "_kc_mlon", "_kc_bucket"]
+
+
+def _knn_join_group(
+    g: pa.Table,
+    mlat_col: str,
+    mlon_col: str,
+    bound2: float,
+    force: bool,
+    poi_id_type: pa.DataType,
+) -> pa.Table:
+    """Reduce side of one bucket: candidate generation (searchsorted
+    on the sorted POI cells) + exact per-point (d2, poi_id)-lexsort
+    winner, all vectorized. A point's cell hashes to exactly one
+    bucket and the cover side replicated every POI into that cell's
+    halo, so each point meets ALL its candidates here — the fold is
+    total, never per-block-partial. ``_kc_done``: a winner within one
+    cell width (``bound2``) provably beats anything outside the 3×3
+    halo; ``force`` (level 0) marks every point final."""
+    side = g["_kc_side"].to_numpy(zero_copy_only=False)
+    pts = g.filter(pa.array(side == 0))
+    base = pts.drop_columns(_KC_DROP)
+    npts = pts.num_rows
+    if npts == 0:
+        return (
+            base.append_column("poi_id", pa.array([], type=poi_id_type))
+            .append_column("dist2_deg", pa.array([], type=pa.float64()))
+            .append_column("_kc_done", pa.array([], type=pa.bool_()))
+        )
+    poi = g.filter(pa.array(side == 1))
+    best_cand = np.full(npts, -1, dtype=np.int64)
+    best_d2 = np.full(npts, np.nan)
+    if poi.num_rows:
+        kcell = poi["_kc_cell"].to_numpy(zero_copy_only=False)
+        order = np.argsort(kcell, kind="stable")
+        kcell_s = kcell[order]
+        qcell = pts["_kc_cell"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(kcell_s, qcell, "left")
+        hi = np.searchsorted(kcell_s, qcell, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total:
+            cand_pt = np.repeat(np.arange(npts, dtype=np.int64), cnt)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            cand = order[np.repeat(lo, cnt) + within]
+            klat = poi["_kc_mlat"].to_numpy(zero_copy_only=False)[cand]
+            klon = poi["_kc_mlon"].to_numpy(zero_copy_only=False)[cand]
+            qlat = pts[mlat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            qlon = pts[mlon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            d2 = (klat - qlat[cand_pt]) ** 2 + (klon - qlon[cand_pt]) ** 2
+            pid_sort = poi["_kc_poi"].to_pandas().to_numpy()[cand]
+            key = np.lexsort((pid_sort, d2, cand_pt))
+            pts_s = cand_pt[key]
+            first = np.ones(pts_s.size, dtype=bool)
+            first[1:] = pts_s[1:] != pts_s[:-1]
+            win = key[first]
+            best_cand[pts_s[first]] = cand[win]
+            best_d2[pts_s[first]] = d2[win]
+    found = best_cand >= 0
+    done = (found & (best_d2 <= bound2)) | force
+    import pyarrow.compute as pc
+
+    poi_idx = pa.array(np.where(found, best_cand, 0), mask=~found)
+    poi_id = pc.take(poi["_kc_poi"].combine_chunks(), poi_idx) if poi.num_rows else pa.nulls(npts, poi_id_type)
+    return (
+        base.append_column("poi_id", poi_id)
+        .append_column("dist2_deg", pa.array(np.where(found, best_d2, np.nan)))
+        .append_column("_kc_done", pa.array(done))
+    )
+
+
+def knn_join_copartitioned(
+    points_ds,
+    pois,
+    *,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    metric_lat_col: str | None = None,
+    metric_lon_col: str | None = None,
+    metric_scale: float = 1.0,
+    level: int = cells.LEVEL_TILE,
+    coarsen: int = 2,
+    num_partitions: int | None = None,
+):
+    """Exact nearest-POI join for POI sets TOO LARGE TO BROADCAST
+    (the J6b complement of :class:`KnnPoiJoiner`, like
+    :func:`pip_join_copartitioned` is J5b to J5).
+
+    Hierarchical grid join: round ℓ tags the still-unresolved points
+    with their level-ℓ cell, replicates each POI to its 3×3 level-ℓ
+    halo (constant 9×), and joins reduce-side: both tagged streams
+    union into ONE exchange keyed by ``hash(cell) % num_partitions``
+    and each bucket's ``map_groups`` matches points to candidates via
+    searchsorted and takes each point's (d2, poi_id)-lexsort winner —
+    a point's cell lives wholly in one bucket, so the fold is total.
+    (Not ``Dataset.join``: its hash aggregator crashes on partitions
+    that receive build rows but no probe blocks — empty-side schema
+    loss, hit whenever the shrinking point side leaves a partition
+    empty.)
+
+    A winner within one cell width is PROVABLY the global nearest
+    (anything outside the halo is ≥ 2 Chebyshev cells ≥ one full cell
+    width away — the same bound as the broadcast ring walk at r=1);
+    everything else escalates to a round ``coarsen`` levels coarser,
+    whose halo REGION is a superset, doubling reach ``2^coarsen``×
+    per round at the same 9× replication. Level 0 is one cell, so the
+    final round is an exact brute force and every point resolves —
+    output rows equal the broadcast path bit for bit (nulls only for
+    an empty POI side, pinned in tests).
+
+    Scale shape: each round ships the (sub-linear) POI cover 9× and
+    the still-unresolved points once; the point side shrinks
+    geometrically, so total exchange ≈ points + rounds × 9 × POIs.
+    Rounds materialize their winner table once (object store,
+    spillable) so the resolved/unresolved split does not re-execute
+    the join. Size ``num_partitions`` so one bucket's points + covers
+    fit an aggregator heap (default ≈4× cluster cores via
+    ``agg.default_n_buckets``, same contract as the aggregate stages).
+
+    ``pois``: Dataset with columns (poi_id, lat, lon, mlat, mlon) —
+    see :func:`pois_to_table` — or the table itself."""
+    import ray.data as rd
+
+    from ..pipelines import agg
+
+    if isinstance(pois, pa.Table):
+        pois = rd.from_arrow(pois)
+    if num_partitions is None:
+        num_partitions = agg.default_n_buckets()
+    mlat_col = metric_lat_col or lat_col
+    mlon_col = metric_lon_col or lon_col
+    poi_id_type = dict(zip(pois.schema().names, pois.schema().types))["poi_id"]
+    schema = points_ds.schema()
+    reserved = set(_KC_DROP) | {"_kc_done", "poi_id", "dist2_deg"}
+    if reserved & set(schema.names):
+        raise ValueError(f"points columns collide with {sorted(reserved)}")
+    point_fields = list(zip(schema.names, schema.types))
+    pois = pois.materialize()  # re-shipped each round; never re-executed
+
+    def split(mat, want_done: bool):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            sel = b.filter(
+                b["_kc_done"] if want_done else pc.invert(b["_kc_done"])
+            )
+            if want_done:
+                return sel.drop_columns(["_kc_done"])
+            return sel.drop_columns(["_kc_done", "poi_id", "dist2_deg"])
+
+        return mat.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    remaining = points_ds
+    resolved = []
+    lvl = level
+    while True:
+        force = lvl == 0
+        bound = 180.0 / (1 << lvl) * metric_scale
+        cover = pois.map_batches(
+            _knn_cover_batch,
+            fn_kwargs={
+                "level": lvl, "n_buckets": num_partitions,
+                "point_fields": point_fields,
+            },
+            batch_format="pyarrow", batch_size=None,
+        )
+        tagged = remaining.map_batches(
+            _knn_tag_points_batch,
+            fn_kwargs={
+                "lat_col": lat_col, "lon_col": lon_col, "level": lvl,
+                "n_buckets": num_partitions, "poi_id_type": poi_id_type,
+            },
+            batch_format="pyarrow", batch_size=None,
+        )
+        b2, frc = bound * bound, force
+        winner = (
+            tagged.union(cover)
+            .groupby("_kc_bucket")
+            .map_groups(
+                lambda g, _b2=b2, _f=frc: _knn_join_group(
+                    g, mlat_col, mlon_col, _b2, _f, poi_id_type
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        resolved.append(split(winner, True))
+        if force:
+            break
+        remaining = split(winner, False).materialize()
+        if remaining.count() == 0:
+            break
+        lvl = max(0, lvl - coarsen)
+    out = resolved[0]
+    for part in resolved[1:]:
+        out = out.union(part)
+    return out

@@ -663,3 +663,169 @@ class TestCopartitionedPip:
             stages.pip_join_copartitioned(
                 rd.from_pandas(pdf), fixtures.make_regions()
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCopartitionedKnn:
+    """J6b: co-partitioned kNN join (POI side as a Dataset, reduce-side
+    bucket join on hash(cell) with hierarchical level escalation) must
+    equal the broadcast ring-walk path row for row."""
+
+    def _points(self, n=3000, seed=5):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "pid": np.arange(n, dtype=np.int64),
+                "lat": rng.uniform(-60, 60, n),
+                "lon": rng.uniform(-170, 170, n),
+            }
+        )
+
+    def _broadcast(self, ds, index):
+        import ray
+
+        ref = ray.put(index)
+        return (
+            ds.map_batches(
+                stages.knn_join_batch,
+                fn_kwargs={"index_ref": ref},
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .to_pandas()
+            .sort_values("pid")
+            .reset_index(drop=True)
+        )
+
+    @pytest.mark.parametrize("n_poi", [400, 5])
+    def test_matches_broadcast_path(self, n_poi):
+        """400 POIs: most points resolve in round 1. 5 POIs: every
+        point escalates through several coarser levels — the
+        multi-round path, including buckets with only one side."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(23)
+        poi_ids = np.arange(n_poi, dtype=np.int64) * 3 + 1
+        plat = rng.uniform(-60, 60, n_poi)
+        plon = rng.uniform(-170, 170, n_poi)
+        ds = rd.from_pandas(self._points()).repartition(4)
+        want = self._broadcast(
+            ds, knn.PoiIndex(poi_ids, plat, plon, level=6)
+        )
+        got = (
+            stages.knn_join_copartitioned(
+                ds,
+                stages.pois_to_table(poi_ids, plat, plon),
+                level=6,
+                num_partitions=8,
+            )
+            .to_pandas()
+            .sort_values("pid")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        assert got["pid"].dtype == np.int64  # no null-upcast via union
+        assert got["poi_id"].notna().all()
+        pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+    def test_exact_metric_space_and_extra_columns(self):
+        """Centidegree metric columns (the q_knn_poi exact-integer
+        tie-break space) flow through the copartitioned path; extra
+        point columns survive the union+groupby exchange."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(31)
+        n_poi = 120
+        poi_ids = np.arange(n_poi, dtype=np.int64)
+        plat_cd = rng.integers(-6000, 6000, n_poi)
+        plon_cd = rng.integers(-17000, 17000, n_poi)
+        index = knn.PoiIndex(
+            poi_ids, plat_cd / 100.0, plon_cd / 100.0, level=6,
+            metric_lat=plat_cd.astype(np.float64),
+            metric_lon=plon_cd.astype(np.float64),
+            metric_scale=100.0,
+        )
+        pdf = self._points(n=1000, seed=37)
+        pdf["lat"] = np.round(pdf["lat"], 2)
+        pdf["lon"] = np.round(pdf["lon"], 2)
+        pdf["lat_cd"] = (pdf["lat"] * 100).round().astype(np.float64)
+        pdf["lon_cd"] = (pdf["lon"] * 100).round().astype(np.float64)
+        pdf["tag"] = (pdf["pid"] % 7).astype(np.int64)
+        ds = rd.from_pandas(pdf).repartition(3)
+        import ray
+
+        ref = ray.put(index)
+        want = (
+            ds.map_batches(
+                stages.knn_join_batch,
+                fn_kwargs={
+                    "index_ref": ref,
+                    "metric_lat_col": "lat_cd",
+                    "metric_lon_col": "lon_cd",
+                },
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .to_pandas()
+            .sort_values("pid")
+            .reset_index(drop=True)
+        )
+        got = (
+            stages.knn_join_copartitioned(
+                ds,
+                stages.pois_to_table(
+                    poi_ids, plat_cd / 100.0, plon_cd / 100.0,
+                    metric_lat=plat_cd.astype(np.float64),
+                    metric_lon=plon_cd.astype(np.float64),
+                ),
+                metric_lat_col="lat_cd",
+                metric_lon_col="lon_cd",
+                metric_scale=100.0,
+                level=6,
+                num_partitions=8,
+            )
+            .to_pandas()
+            .sort_values("pid")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        assert (got["tag"] == got["pid"] % 7).all()
+        pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+    def test_empty_poi_side(self):
+        """No POIs at all: every point comes back once with null
+        poi_id / NaN dist2_deg (the broadcast empty-index contract)."""
+        import ray.data as rd
+
+        ds = rd.from_pandas(self._points(n=50, seed=2)).repartition(2)
+        got = (
+            stages.knn_join_copartitioned(
+                ds,
+                stages.pois_to_table(
+                    np.array([], dtype=np.int64),
+                    np.array([], dtype=np.float64),
+                    np.array([], dtype=np.float64),
+                ),
+                level=4,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("pid")
+            .reset_index(drop=True)
+        )
+        assert len(got) == 50
+        assert got["poi_id"].isna().all()
+        assert got["dist2_deg"].isna().all()
+
+    def test_reserved_column_collision_raises(self):
+        import ray.data as rd
+
+        pdf = self._points(n=10)
+        pdf["dist2_deg"] = 0.0
+        with pytest.raises(ValueError, match="dist2_deg"):
+            stages.knn_join_copartitioned(
+                rd.from_pandas(pdf),
+                stages.pois_to_table(
+                    np.array([1], dtype=np.int64),
+                    np.array([0.0]),
+                    np.array([0.0]),
+                ),
+            )
