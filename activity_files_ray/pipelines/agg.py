@@ -156,6 +156,54 @@ def bucketed_topk(
     )
 
 
+def bucketed_cap_rows(
+    ds,
+    keys: list[str],
+    sort_by: list[str],
+    ascending: list[bool],
+    k: int,
+    n_buckets: int | None = None,
+):
+    """Per-key row CAP: keep each key's first ``k`` ROWS under the
+    ``sort_by`` order — the grouped-top-k-of-ROWS sibling of
+    :func:`bucketed_topk` (which keeps aggregate rows). The training-
+    data-curation use is per-tile corpus capping: bound how many
+    samples any one hot cell contributes (balanced spatial sampling).
+
+    Two exact phases: a per-batch combiner keeps ≤ k rows per key
+    (rows outside a batch's per-key top-k can never enter that key's
+    GLOBAL top-k — the order is a total order when ``sort_by``
+    includes a tie-break), then the usual hash-bucket exchange merges
+    per key. Shuffle volume is min(input, keys × k); returns a
+    DATASET (keys × k rows can track input size — stays
+    distributed). ``sort_by`` must order deterministically."""
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(sort_by, ascending=ascending, kind="mergesort")
+            .groupby(keys, observed=True, sort=False)
+            .head(k)
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = cap(df)
+        h = pd.util.hash_pandas_object(part[keys], index=False).to_numpy(np.uint64)
+        return part.assign(
+            _bucket=(h % np.uint64(n_buckets)).astype(np.int64)
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return cap(g.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def bucketed_distinct_count(ds, col: str, n_buckets: int | None = None) -> int:
     """Global COUNT(DISTINCT col) for KEY-PER-ROW cardinalities.
     Per-batch partials collapse to the batch's unique values (+ the

@@ -526,6 +526,67 @@ def q_hot_cells(sf_dir: str):
     )
 
 
+CAP_LEVEL, CAP_K = 8, 3  # per-tile corpus cap: ≤3 samples per ~1.4° cell
+
+
+def q_cell_cap_sample(sf_dir: str):
+    """Per-tile corpus CAP (balanced spatial sampling — O10): keep at
+    most ``CAP_K`` points per level-``CAP_LEVEL`` cell under the
+    deterministic event_id order, so hot cells (popular routes) can't
+    dominate a training corpus. Distributed as
+    ``agg.bucketed_cap_rows``: per-batch per-key combiner cap, then
+    one hash-bucket exchange — shuffle volume min(input, cells×k)."""
+    enc = _derived_points_ds(sf_dir).map_batches(
+        stages.add_cell_columns,
+        fn_kwargs={"level": CAP_LEVEL, "prefix_level": min(CAP_LEVEL, 7)},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return agg.bucketed_cap_rows(
+        enc.select_columns(["event_id", "cell"]),
+        ["cell"], ["event_id"], [True], CAP_K,
+    )
+
+
+SQL_CELL_CAP_SAMPLE = f"""
+WITH pts AS (
+  SELECT event_id,
+    {cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, CAP_LEVEL)} AS cell
+  FROM events
+)
+SELECT event_id, cell FROM (
+  SELECT event_id, cell,
+    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY event_id) AS rn
+  FROM pts
+) WHERE rn <= {CAP_K}
+"""
+
+
+PYRAMID_LEVELS = (CELL_LEVEL, 10, 5)  # finest (1.2 km) → region → continent
+
+
+def q_cell_pyramid(sf_dir: str):
+    """Tile-count PYRAMID (A10): per-cell counts at every zoom level
+    from ONE pass over the points — the input streams through cell
+    encoding once at level 15, and levels 10/5 roll up from the
+    previous level's (sub-linear) counts via ``parent_cell_id`` +
+    bucketed sums, never re-reading the points. The grid is strictly
+    hierarchical (ix>>d == floor at the coarser level, clamps
+    commute), so every level equals a direct groupby at that level —
+    which is exactly what the SQL oracle computes."""
+    return stages.cell_pyramid_counts(
+        _derived_points_ds(sf_dir), list(PYRAMID_LEVELS)
+    )
+
+
+SQL_CELL_PYRAMID = " UNION ALL ".join(
+    f"SELECT CAST({lv} AS BIGINT) AS level, "
+    f"{cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, lv)} AS cell, "
+    f"CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY cell"
+    for lv in PYRAMID_LEVELS
+)
+
+
 SQL_HOT_CELLS = SQL_CELL_COUNTS.replace(
     "GROUP BY cell", "GROUP BY cell ORDER BY n DESC, cell LIMIT 20"
 )
@@ -703,6 +764,34 @@ def q_knn_poi_copart(sf_dir: str, subset_mod: int = KNN_SUBSET_MOD):
         )
 
     return joined.map_batches(int_dist, batch_format="pyarrow", batch_size=None)
+
+
+DESERT_R2_CD = 90_000  # poi-desert threshold: nearest POI > 300 cd (3°) away
+# (the exact complement of RADIUS_CD below: deserts = points radius_poi misses)
+
+
+def q_poi_deserts(sf_dir: str):
+    """Spatial ANTI-join (the NOT-WITHIN form of J6/J8): points whose
+    NEAREST POI is farther than a threshold — i.e. points matching no
+    POI within the radius. The scale-right plan is the same bounded
+    ring walk as the kNN join (each point proves its nearest once,
+    never scans the POI side), then a distance filter; the SQL oracle
+    is the NOT-EXISTS definition via the kNN subquery."""
+    knn_rows = q_knn_poi(sf_dir)
+
+    def keep_far(b: pa.Table) -> pa.Table:
+        d2 = b["dist2_cd"].to_numpy()
+        return b.filter(pa.array(d2 > DESERT_R2_CD)).select(
+            ["event_id", "dist2_cd"]
+        )
+
+    return knn_rows.map_batches(keep_far, batch_format="pyarrow", batch_size=None)
+
+
+SQL_POI_DESERTS = (
+    f"SELECT event_id, dist2_cd FROM ({SQL_KNN_POI}) "
+    f"WHERE dist2_cd > {DESERT_R2_CD}"
+)
 
 
 RADIUS_CD = 300.0  # range-join radius in centidegrees (3°)
@@ -2323,6 +2412,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_last_wins": (q_dedup_last_wins, SQL_DEDUP_LAST_WINS),
     "time_crop": (q_time_crop, SQL_TIME_CROP),
     "cell_counts": (q_cell_counts, SQL_CELL_COUNTS),
+    "cell_pyramid": (q_cell_pyramid, SQL_CELL_PYRAMID),
+    "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
     "pip_regions_copart": (q_pip_regions_copart, SQL_PIP_REGIONS),
@@ -2355,6 +2446,7 @@ QUERIES: dict[str, tuple] = {
     "order_status_priority": (q_order_status_priority, SQL_ORDER_STATUS_PRIORITY),
     "knn3_poi": (q_knn3_poi, SQL_KNN3_POI),
     "radius_poi": (q_radius_poi, SQL_RADIUS_POI),
+    "poi_deserts": (q_poi_deserts, SQL_POI_DESERTS),
     "knn_segment_poi": (q_knn_segment_poi, SQL_KNN_SEGMENT_POI),
     "image_phash_dedup": (q_image_phash_dedup, _sql_image_phash_dedup),
     "geo_phash_near_dup": (q_geo_phash_near_dup, _sql_geo_phash_near_dup),

@@ -1022,3 +1022,93 @@ def knn_join_copartitioned(
     for part in resolved[1:]:
         out = out.union(part)
     return out
+
+
+# ------------------------------------------------------------------ A10:
+# multi-resolution tile-count pyramid (the rollup form of the
+# north-rule tile assignment: every zoom level from ONE input pass).
+
+
+def cell_pyramid_counts(
+    points_ds,
+    levels: list[int],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    n_buckets: int | None = None,
+):
+    """Per-cell point counts at EVERY requested grid level from one
+    pass over the points — the tile-pyramid rollup every map/tile
+    service materializes.
+
+    Scale shape: the input streams through cell encoding ONCE at the
+    finest level into one ``agg.bucketed_aggregate`` (the only
+    exchange that sees point-cardinality keys); each coarser level is
+    then rolled up from the PREVIOUS level's counts via
+    ``parent_cell_id`` + a bucketed sum — sub-linear inputs all the
+    way down (level ℓ−1 has ≤ ¼ the cells of ℓ under uniform data,
+    and never more). Exactness: counts are associative sums and every
+    fine cell has exactly one parent per level, so each level equals
+    the direct groupby at that level (pinned in tests + the
+    ``cell_pyramid`` SQL oracle). Each level is materialized once —
+    it is consumed twice (emitted + rolled up), and Ray re-executes
+    lazy branches otherwise.
+
+    Returns a Dataset with columns (level:int64, cell:int64,
+    n:int64), levels sorted finest→coarsest in the requested set."""
+    import ray.data as rd  # noqa: F401 — documents the return type
+
+    from ..pipelines import agg
+
+    lvls = sorted(set(int(l) for l in levels), reverse=True)
+    finest = lvls[0]
+
+    def tag_level(lv: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "level": pa.array(
+                        np.full(t.num_rows, lv, dtype=np.int64)
+                    ),
+                    "cell": t["cell"],
+                    "n": t["n"],
+                }
+            )
+
+        return f
+
+    def encode(t: pa.Table) -> pa.Table:
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(cells.cell_id(lat, lon, finest))})
+
+    enc = points_ds.map_batches(
+        encode, batch_format="pyarrow", batch_size=None
+    )
+    counts = agg.bucketed_aggregate(
+        enc, ["cell"], {"n": ("", "count")}, n_buckets=n_buckets
+    ).materialize()
+    out = counts.map_batches(
+        tag_level(finest), batch_format="pyarrow", batch_size=None
+    )
+    prev, prev_level = counts, finest
+    for lv in lvls[1:]:
+        def to_parent(t: pa.Table, _from=prev_level, _to=lv) -> pa.Table:
+            cid = t["cell"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "cell": pa.array(cells.parent_cell_id(cid, _from, _to)),
+                    "n": t["n"],
+                }
+            )
+
+        rolled = agg.bucketed_aggregate(
+            prev.map_batches(to_parent, batch_format="pyarrow", batch_size=None),
+            ["cell"],
+            {"n": ("n", "sum")},
+            n_buckets=n_buckets,
+        ).materialize()
+        out = out.union(
+            rolled.map_batches(tag_level(lv), batch_format="pyarrow", batch_size=None)
+        )
+        prev, prev_level = rolled, lv
+    return out

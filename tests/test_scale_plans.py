@@ -76,6 +76,35 @@ class TestBucketedHelpers:
         )
         assert out["k"].tolist() == [2]
 
+    def test_bucketed_cap_rows_matches_pandas(self):
+        import ray.data as rd
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 80, 4000),
+                "o": rng.permutation(4000),
+                "payload": rng.integers(0, 10**9, 4000),
+            }
+        )
+        got = (
+            agg.bucketed_cap_rows(
+                rd.from_pandas(df).repartition(8),
+                ["k"], ["o"], [True], 5, n_buckets=16,
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.sort_values(["o"], kind="mergesort")
+            .groupby("k", sort=False)
+            .head(5)
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
     def test_bucketed_distinct_count(self):
         import ray.data as rd
 

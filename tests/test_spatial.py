@@ -829,3 +829,59 @@ class TestCopartitionedKnn:
                     np.array([0.0]),
                 ),
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCellPyramid:
+    """A10: the one-pass rollup pyramid must equal a direct per-level
+    groupby — the grid is strictly hierarchical, so parent rollups
+    are exact."""
+
+    def test_matches_direct_per_level_counts(self):
+        import ray.data as rd
+
+        from activity_files_ray.pipelines import agg
+
+        rng = np.random.default_rng(41)
+        n = 20000
+        pdf = pd.DataFrame(
+            {
+                # cluster some points so coarse cells have real skew
+                "lat": np.concatenate(
+                    [rng.uniform(-80, 80, n // 2), rng.normal(40, 0.2, n // 2)]
+                ),
+                "lon": np.concatenate(
+                    [rng.uniform(-179, 179, n // 2), rng.normal(-105, 0.2, n // 2)]
+                ),
+            }
+        )
+        ds = rd.from_pandas(pdf).repartition(4)
+        levels = [12, 8, 3]
+        got = (
+            stages.cell_pyramid_counts(ds, levels, n_buckets=16)
+            .to_pandas()
+            .sort_values(["level", "cell"])
+            .reset_index(drop=True)
+        )
+        parts = []
+        for lv in levels:
+            enc = ds.map_batches(
+                stages.add_cell_columns,
+                fn_kwargs={"level": lv, "prefix_level": min(lv, 7)},
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            direct = agg.bucketed_aggregate(
+                enc.select_columns(["cell"]), ["cell"], {"n": ("", "count")},
+                n_buckets=16,
+            ).to_pandas()
+            direct.insert(0, "level", np.int64(lv))
+            parts.append(direct)
+        want = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values(["level", "cell"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+        # totals conserved at every level
+        assert (got.groupby("level")["n"].sum() == len(pdf)).all()
