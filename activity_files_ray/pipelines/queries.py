@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 from ..functions import cells, polygons, text
 from ..spatial import knn, stages
-from . import agg
+from . import agg, sampling
 
 # --- synthetic geo derivation (single source of truth, int math) ------------
 # events rows become trackpoints; part rows become POIs. Centidegree
@@ -2289,6 +2289,55 @@ FROM events
 """
 
 
+SPLIT_NAMES = ["train", "val", "test"]
+SPLIT_WEIGHTS = [80, 10, 10]
+SPLIT_SALT = "split-v1:"
+
+
+def q_doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test split of the document corpus
+    (hash-based assignment — the training-data-curation primitive).
+
+    Scale shape: a pure streaming ``map_batches`` pass — zero
+    shuffle, zero coordination; split membership is a function of
+    doc_id alone so it's stable across cluster sizes, retries, and
+    corpus appends. Boundaries are big-int-exact over the u64 hash
+    space and the MD5-top-64 hash is replayed bit-identically by the
+    SQL oracle (the simhash convention)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sampling.hash_split(
+        ds, "doc_id", SPLIT_NAMES, SPLIT_WEIGHTS, salt=SPLIT_SALT
+    )
+
+
+SQL_DOC_SPLIT_ASSIGN = (
+    "SELECT doc_id, lang, "
+    + sampling.split_sql_case("doc_id", SPLIT_NAMES, SPLIT_WEIGHTS, SPLIT_SALT)
+    + " AS split FROM documents"
+)
+
+
+SAMPLE_NUM, SAMPLE_DEN = 1, 20  # deterministic 5% event sample
+SAMPLE_SALT = "sample-v1:"
+
+
+def q_event_sample(sf_dir: str):
+    """Deterministic Bernoulli(1/20) sample of the events stream by
+    hashed event_id: one streaming filter pass, reproducible, and
+    append-stable (a grown corpus's sample is a superset). The same
+    integer threshold over MD5-top-64 is inlined into the SQL."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    return sampling.hash_sample(
+        ds, "event_id", SAMPLE_NUM, SAMPLE_DEN, salt=SAMPLE_SALT
+    )
+
+
+SQL_EVENT_SAMPLE = (
+    "SELECT event_id, event_type FROM events WHERE "
+    + sampling.sample_sql_pred("event_id", SAMPLE_NUM, SAMPLE_DEN, SAMPLE_SALT)
+)
+
+
 def q_global_ts_window(sf_dir: str):
     """Global min/max aggregate without a groupby (A8 window bounds)."""
     ds = _read(sf_dir, "events", ["ts"])
@@ -2451,6 +2500,8 @@ QUERIES: dict[str, tuple] = {
     "image_phash_dedup": (q_image_phash_dedup, _sql_image_phash_dedup),
     "geo_phash_near_dup": (q_geo_phash_near_dup, _sql_geo_phash_near_dup),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "doc_split_assign": (q_doc_split_assign, SQL_DOC_SPLIT_ASSIGN),
+    "event_sample": (q_event_sample, SQL_EVENT_SAMPLE),
     "global_ts_window": (q_global_ts_window, SQL_GLOBAL_TS_WINDOW),
     "pip_grid_counts": (q_pip_grid_counts, SQL_PIP_GRID_COUNTS),
 }
