@@ -579,6 +579,43 @@ def q_cell_pyramid(sf_dir: str):
     )
 
 
+HEATMAP_TILE_LEVEL, HEATMAP_FINE_LEVEL = 4, 9  # 32×32-pixel tiles
+
+
+def q_heatmap_tiles(sf_dir: str):
+    """Heatmap rasterization (A11, geo×image): per-tile density PNGs
+    whose pixels are clamped fine-cell point counts — the vector→
+    raster inverse of J7's route extraction. The comparison columns
+    (n_lit, px_sum, w, h) are computed from the DECODED png bytes in
+    the render kernel, so the SQL oracle over the raw points checks
+    the actual rendered image content; pixel PLACEMENT (row 0 =
+    north, col = east offset) is pinned by decode tests."""
+    tiles = stages.heatmap_tile_images(
+        _derived_points_ds(sf_dir),
+        tile_level=HEATMAP_TILE_LEVEL,
+        fine_level=HEATMAP_FINE_LEVEL,
+    )
+    return tiles.select_columns(["tile", "w", "h", "n_lit", "px_sum"])
+
+
+_HEAT_D = HEATMAP_FINE_LEVEL - HEATMAP_TILE_LEVEL
+
+SQL_HEATMAP_TILES = f"""
+WITH fine AS (
+  SELECT {cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, HEATMAP_FINE_LEVEL)} AS cell,
+         COUNT(*) AS n
+  FROM events GROUP BY cell
+)
+SELECT ((cell // 536870912) // {1 << _HEAT_D}) * 536870912
+         + ((cell % 536870912) // {1 << _HEAT_D}) AS tile,
+       CAST({1 << _HEAT_D} AS INTEGER) AS w,
+       CAST({1 << _HEAT_D} AS INTEGER) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n_lit,
+       CAST(SUM(LEAST(n, 255)) AS BIGINT) AS px_sum
+FROM fine GROUP BY tile
+"""
+
+
 SQL_CELL_PYRAMID = " UNION ALL ".join(
     f"SELECT CAST({lv} AS BIGINT) AS level, "
     f"{cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, lv)} AS cell, "
@@ -2462,6 +2499,7 @@ QUERIES: dict[str, tuple] = {
     "time_crop": (q_time_crop, SQL_TIME_CROP),
     "cell_counts": (q_cell_counts, SQL_CELL_COUNTS),
     "cell_pyramid": (q_cell_pyramid, SQL_CELL_PYRAMID),
+    "heatmap_tiles": (q_heatmap_tiles, SQL_HEATMAP_TILES),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),

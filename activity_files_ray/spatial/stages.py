@@ -1112,3 +1112,95 @@ def cell_pyramid_counts(
         )
         prev, prev_level = rolled, lv
     return out
+
+
+# ------------------------------------------------------------------ A11:
+# heatmap rasterization — cell counts rendered to PNG tiles (the
+# inverse of J7's raster→vector route extraction: vector→raster).
+
+
+def heatmap_tile_images(
+    points_ds,
+    tile_level: int = 4,
+    fine_level: int = 9,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    n_buckets: int | None = None,
+):
+    """Render a per-tile density HEATMAP: one grayscale PNG per
+    level-``tile_level`` tile, where pixel (row, col) is the
+    clamped-to-255 point count of one level-``fine_level`` cell
+    (row 0 = north). The grid hierarchy is pure bit-shift, so every
+    tile holds exactly 2^d × 2^d fine cells (d = fine − tile) — a
+    dense raster with no partial tiles.
+
+    Scale shape: the POINTS see exactly one streaming cell-encode
+    pass + one bucketed count exchange (key cardinality = occupied
+    fine cells, sub-linear); pixels are then created per TILE inside
+    a ``groupby(tile).map_groups`` over those counts — image bytes
+    exist only at tile granularity and never ride on point rows.
+    This is the write-side twin of ``route_tile_batch`` (J7), which
+    consumes such rasters back into vector form.
+
+    Honesty contract: the returned ``n_lit`` / ``px_sum`` stats are
+    computed from the DECODED png bytes (encode→decode round trip in
+    the kernel), so the SQL oracle over the raw points genuinely
+    checks the rendered image content, not a parallel code path.
+
+    Returns a Dataset with (tile:int64, w:int32, h:int32,
+    n_lit:int64, px_sum:int64, png:binary)."""
+    import pandas as pd
+
+    from ..pipelines import agg
+
+    if fine_level <= tile_level:
+        raise ValueError("fine_level must be > tile_level")
+    d = fine_level - tile_level
+    size = 1 << d
+
+    def encode(t: pa.Table) -> pa.Table:
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(cells.cell_id(lat, lon, fine_level))})
+
+    counts = agg.bucketed_aggregate(
+        points_ds.map_batches(encode, batch_format="pyarrow", batch_size=None),
+        ["cell"],
+        {"n": ("", "count")},
+        n_buckets=n_buckets,
+    )
+
+    def add_tile(t: pa.Table) -> pa.Table:
+        cid = t["cell"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "tile", pa.array(cells.parent_cell_id(cid, fine_level, tile_level))
+        )
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        tile = int(df["tile"].iloc[0])
+        ix, iy = cells.xy_from_cell_id(df["cell"].to_numpy(np.int64))
+        tx, ty = cells.xy_from_cell_id(np.array([tile], dtype=np.int64))
+        x = ix - (int(tx[0]) << d)
+        y = iy - (int(ty[0]) << d)
+        img = np.zeros((size, size), dtype=np.uint8)
+        img[size - 1 - y, x] = np.minimum(
+            df["n"].to_numpy(np.int64), 255
+        ).astype(np.uint8)
+        png = imaging.encode_png(np.repeat(img[:, :, None], 3, axis=2))
+        dec = imaging.decode_png(png)[:, :, 0]
+        return pd.DataFrame(
+            {
+                "tile": [tile],
+                "w": [np.int32(size)],
+                "h": [np.int32(size)],
+                "n_lit": [np.int64((dec > 0).sum())],
+                "px_sum": [np.int64(dec.astype(np.int64).sum())],
+                "png": [png],
+            }
+        )
+
+    return (
+        counts.map_batches(add_tile, batch_format="pyarrow", batch_size=None)
+        .groupby("tile")
+        .map_groups(render, batch_format="pandas")
+    )

@@ -885,3 +885,59 @@ class TestCellPyramid:
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
         # totals conserved at every level
         assert (got.groupby("level")["n"].sum() == len(pdf)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeatmapTiles:
+    """A11: vector→raster heatmap — pixel placement and the
+    decoded-stats honesty contract."""
+
+    def test_pixel_placement_and_decode(self):
+        import ray.data as rd
+
+        from activity_files_ray.functions import cells, imaging
+
+        tile_level, fine_level = 2, 5  # 8x8-pixel tiles
+        d = fine_level - tile_level
+        # three points: two in the same fine cell, one in another,
+        # all inside one tile. Use cell centers to dodge edge floats.
+        cids = np.array([cells.cell_id(np.array([10.0]), np.array([20.0]),
+                                       fine_level)[0]] * 2)
+        lat1, lon1 = cells.cell_center(cids[:1], fine_level)
+        # neighbor fine cell, +1 in ix (east)
+        ix, iy = cells.xy_from_cell_id(cids[:1])
+        nb = cells.cell_id_from_xy(ix + 1, iy)
+        lat2, lon2 = cells.cell_center(nb, fine_level)
+        pdf = pd.DataFrame(
+            {
+                "lat": [lat1[0], lat1[0], lat2[0]],
+                "lon": [lon1[0], lon1[0], lon2[0]],
+            }
+        )
+        out = stages.heatmap_tile_images(
+            rd.from_pandas(pdf), tile_level, fine_level, n_buckets=4
+        ).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row.w, row.h) == (1 << d, 1 << d)
+        assert row.n_lit == 2 and row.px_sum == 3
+        dec = imaging.decode_png(row.png)[:, :, 0]
+        tx, ty = cells.xy_from_cell_id(np.array([row.tile], dtype=np.int64))
+        x0, y0 = int(ix[0]) - (int(tx[0]) << d), int(iy[0]) - (int(ty[0]) << d)
+        size = 1 << d
+        assert dec[size - 1 - y0, x0] == 2       # 2-count cell
+        assert dec[size - 1 - y0, x0 + 1] == 1   # east neighbor
+        assert dec.sum() == 3
+
+    def test_count_clamps_at_255(self):
+        import ray.data as rd
+
+        from activity_files_ray.functions import imaging
+
+        pdf = pd.DataFrame({"lat": [0.5] * 300, "lon": [0.5] * 300})
+        out = stages.heatmap_tile_images(
+            rd.from_pandas(pdf), 1, 4, n_buckets=2
+        ).to_pandas()
+        assert len(out) == 1 and out.iloc[0].px_sum == 255
+        dec = imaging.decode_png(out.iloc[0].png)[:, :, 0]
+        assert dec.max() == 255 and (dec > 0).sum() == 1
