@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions import cells, polygons, text
-from ..spatial import knn, stages
+from ..spatial import knn, simplify, stages
 from . import agg, sampling
 
 # --- synthetic geo derivation (single source of truth, int math) ------------
@@ -829,6 +829,87 @@ SQL_POI_DESERTS = (
     f"SELECT event_id, dist2_cd FROM ({SQL_KNN_POI}) "
     f"WHERE dist2_cd > {DESERT_R2_CD}"
 )
+
+
+SIMPLIFY_EPS_CD = 4000  # DP tolerance: 40° — synthetic tracks are
+# globe-random walks, so a large eps is what exercises real drops
+
+
+def q_simplify_tracks(sf_dir: str):
+    """Per-track Douglas–Peucker simplification (the shape-preserving
+    sibling of M9/M10 downsampling): tracks = per-user event
+    sequences ordered by (ts, event_id), integer-exact deviation
+    tests (see spatial/simplify.py). One groupby(track) exchange —
+    the track is simplification's atomic unit; inside it the span
+    scan is vectorized. The oracle replays the RECURSION ITSELF as a
+    DuckDB recursive CTE (split-point lineage, not just counts)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        lat_cd, lon_cd = event_latlon_cd(t["event_id"].to_numpy())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "lat_cd": pa.array(lat_cd),
+                "lon_cd": pa.array(lon_cd),
+            }
+        )
+
+    pts = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return simplify.simplify_tracks(
+        pts,
+        SIMPLIFY_EPS_CD,
+        track_col="user_id",
+        order_cols=["ts", "event_id"],
+        x_col="lon_cd",
+        y_col="lat_cd",
+        keep_cols=["user_id", "event_id"],
+    )
+
+
+# The full DP recursion as SQL: spans split at the first-max interior
+# point while its deviation exceeds eps (same shared-denominator int64
+# test as the kernel); kept rows = endpoints of every span reached.
+SQL_SIMPLIFY_TRACKS = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id AS uid, event_id AS eid,
+    {EVENT_LON_CD} AS x, {EVENT_LAT_CD} AS y,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+spans AS (
+  SELECT uid, CAST(1 AS BIGINT) AS i, CAST(n AS BIGINT) AS j
+  FROM pts WHERE seq = 1 AND n >= 2
+  UNION ALL
+  SELECT s.uid, CASE arm.a WHEN 0 THEN s.i ELSE sp.k END,
+                CASE arm.a WHEN 0 THEN sp.k ELSE s.j END
+  FROM spans s
+  JOIN pts pa ON pa.uid = s.uid AND pa.seq = s.i
+  JOIN pts pb ON pb.uid = s.uid AND pb.seq = s.j
+  CROSS JOIN LATERAL (
+    SELECT p.seq AS k,
+      CASE WHEN (pb.x-pa.x)*(pb.x-pa.x)+(pb.y-pa.y)*(pb.y-pa.y) = 0
+        THEN (p.x-pa.x)*(p.x-pa.x)+(p.y-pa.y)*(p.y-pa.y)
+        ELSE ((pb.x-pa.x)*(p.y-pa.y)-(pb.y-pa.y)*(p.x-pa.x))
+           * ((pb.x-pa.x)*(p.y-pa.y)-(pb.y-pa.y)*(p.x-pa.x))
+      END AS num,
+      CASE WHEN (pb.x-pa.x)*(pb.x-pa.x)+(pb.y-pa.y)*(pb.y-pa.y) = 0
+        THEN CAST(1 AS BIGINT)
+        ELSE (pb.x-pa.x)*(pb.x-pa.x)+(pb.y-pa.y)*(pb.y-pa.y) END AS den
+    FROM pts p WHERE p.uid = s.uid AND p.seq > s.i AND p.seq < s.j
+    ORDER BY num DESC, p.seq ASC LIMIT 1
+  ) sp
+  CROSS JOIN (VALUES (0), (1)) AS arm(a)
+  WHERE s.j - s.i >= 2 AND sp.num > {SIMPLIFY_EPS_CD * SIMPLIFY_EPS_CD} * sp.den
+)
+SELECT DISTINCT s.uid AS user_id, p.eid AS event_id
+FROM spans s JOIN pts p ON p.uid = s.uid AND (p.seq = s.i OR p.seq = s.j)
+UNION
+SELECT uid AS user_id, eid AS event_id FROM pts WHERE n = 1
+"""
 
 
 RADIUS_CD = 300.0  # range-join radius in centidegrees (3°)
@@ -2534,6 +2615,7 @@ QUERIES: dict[str, tuple] = {
     "knn3_poi": (q_knn3_poi, SQL_KNN3_POI),
     "radius_poi": (q_radius_poi, SQL_RADIUS_POI),
     "poi_deserts": (q_poi_deserts, SQL_POI_DESERTS),
+    "simplify_tracks": (q_simplify_tracks, SQL_SIMPLIFY_TRACKS),
     "knn_segment_poi": (q_knn_segment_poi, SQL_KNN_SEGMENT_POI),
     "image_phash_dedup": (q_image_phash_dedup, _sql_image_phash_dedup),
     "geo_phash_near_dup": (q_geo_phash_near_dup, _sql_geo_phash_near_dup),
