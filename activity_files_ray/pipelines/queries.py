@@ -1093,6 +1093,159 @@ FROM (
 
 
 # =========================================================================
+# Trajectory analytics over per-user tracks (segmentation / flows)
+# =========================================================================
+
+DWELL_D_CD = 6000  # dwell radius: consecutive-step Chebyshev <= 60.00°
+DWELL_MIN_STEPS = 2  # >= 2 consecutive slow steps (>= 3 points) = a dwell
+
+
+def _user_points_ds(sf_dir: str):
+    """Per-user trackpoints with integer-exact derived coordinates and
+    int64 microsecond timestamps — the shared input of the trajectory
+    operators (dwell detection, OD flows)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        lat_cd, lon_cd = event_latlon_cd(batch["event_id"].to_numpy())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "lat_cd": pa.array(lat_cd),
+                "lon_cd": pa.array(lon_cd),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+
+
+def q_dwell_segments(sf_dir: str):
+    """Stay-point / dwell detection (trajectory SEGMENTATION): per
+    user-track, maximal runs of consecutive steps whose Chebyshev
+    centidegree displacement stays ≤ ``DWELL_D_CD``; runs of ≥
+    ``DWELL_MIN_STEPS`` steps become one dwell row anchored at the
+    run's first point (the corpus lift of the reference's stopped-
+    segment model behind insertPause/removePause,
+    raw_editor.dart:321-420). Plan: ONE user_id shuffle co-locates
+    each track (same exchange class as sessionization); run detection
+    is a vectorized flag-edge scan — no Python loop over points; the
+    output is dwell rows only (#dwells ≪ #points) and stays a
+    Dataset. At 10^12 points the per-group state is one user's track
+    (bounded by track length, not corpus size)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = df["ts_us"].to_numpy()
+        lat = df["lat_cd"].to_numpy()
+        lon = df["lon_cd"].to_numpy()
+        slow = (
+            np.maximum(np.abs(np.diff(lat)), np.abs(np.diff(lon))) <= DWELL_D_CD
+        )
+        edges = np.flatnonzero(
+            np.diff(np.concatenate(([0], slow.astype(np.int8), [0])))
+        )
+        starts, ends = edges[0::2], edges[1::2]  # slow[starts:ends] all True
+        keep = (ends - starts) >= DWELL_MIN_STEPS
+        starts, ends = starts[keep], ends[keep]
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(starts), df["user_id"].iloc[0], dtype=np.int64),
+                "start_ts_us": ts[starts],
+                "end_ts_us": ts[ends],  # step run [a,b) covers points a..b
+                "n_pts": (ends - starts + 1).astype(np.int64),
+                "anchor_lat_cd": lat[starts],
+                "anchor_lon_cd": lon[starts],
+            }
+        )
+
+    return (
+        _user_points_ds(sf_dir).groupby("user_id").map_groups(
+            per_user, batch_format="pandas"
+        )
+    )
+
+
+SQL_DWELL_SEGMENTS = f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    {EVENT_LAT_CD} AS lat_cd, {EVENT_LON_CD} AS lon_cd
+  FROM events
+), steps AS (
+  SELECT user_id, ts_us, lat_cd, lon_cd,
+    LAG(ts_us) OVER w AS pts_us,
+    LAG(lat_cd) OVER w AS plat, LAG(lon_cd) OVER w AS plon,
+    ROW_NUMBER() OVER w AS rn
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), islands AS (
+  SELECT user_id, ts_us, pts_us, plat, plon, rn,
+    rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM steps
+  WHERE plat IS NOT NULL
+    AND GREATEST(ABS(lat_cd - plat), ABS(lon_cd - plon)) <= {DWELL_D_CD}
+)
+SELECT user_id,
+  CAST(MIN(pts_us) AS BIGINT) AS start_ts_us,
+  CAST(MAX(ts_us) AS BIGINT) AS end_ts_us,
+  CAST(COUNT(*) + 1 AS BIGINT) AS n_pts,
+  CAST(ARG_MIN(plat, rn) AS BIGINT) AS anchor_lat_cd,
+  CAST(ARG_MIN(plon, rn) AS BIGINT) AS anchor_lon_cd
+FROM islands
+GROUP BY user_id, grp
+HAVING COUNT(*) >= {DWELL_MIN_STEPS}
+"""
+
+
+OD_LEVEL = 2  # 8×8-ish world grid (2^2 × 2^2 = 16 cells; ≤ 256 OD pairs)
+
+
+def q_od_flows(sf_dir: str):
+    """Origin–destination FLOW MATRIX: each user-track contributes one
+    (origin cell, destination cell) pair — origin = first point by
+    (ts, event_id), destination = last — counted per coarse cell pair
+    (the aggregate view of the reference's per-file start/end summary,
+    activity.dart bounds/summary, lifted to a corpus). Plan: the ONE
+    user_id shuffle reduces each track to a single OD row (argmin /
+    argmax by timestamp inside the group — vectorized head/tail after
+    one sort); the pair aggregate runs on a BOUNDED key space
+    (≤ (4^{OD_LEVEL})² pairs), so the driver-merged combiner tree is
+    the right plan per agg.py's cardinality rule."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+        lat = df["lat_cd"].to_numpy()[[0, -1]] / 100.0
+        lon = df["lon_cd"].to_numpy()[[0, -1]] / 100.0
+        cid = cells.cell_id(lat, lon, OD_LEVEL)
+        return pd.DataFrame({"o_cell": [cid[0]], "d_cell": [cid[1]]})
+
+    od = _user_points_ds(sf_dir).groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+    return agg.tree_aggregate(
+        od, ["o_cell", "d_cell"], {"n_users": ("", "count")}
+    )
+
+
+SQL_OD_FLOWS = f"""
+WITH pts AS (
+  SELECT user_id,
+    {cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, OD_LEVEL)} AS cell,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+), od AS (
+  SELECT user_id,
+    MAX(CASE WHEN rn_a = 1 THEN cell END) AS o_cell,
+    MAX(CASE WHEN rn_d = 1 THEN cell END) AS d_cell
+  FROM pts WHERE rn_a = 1 OR rn_d = 1 GROUP BY user_id
+)
+SELECT o_cell, d_cell, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM od GROUP BY o_cell, d_cell
+"""
+
+
+# =========================================================================
 # Documents: dedup + text analysis
 # =========================================================================
 
@@ -2624,6 +2777,8 @@ QUERIES: dict[str, tuple] = {
     "event_sample": (q_event_sample, SQL_EVENT_SAMPLE),
     "global_ts_window": (q_global_ts_window, SQL_GLOBAL_TS_WINDOW),
     "pip_grid_counts": (q_pip_grid_counts, SQL_PIP_GRID_COUNTS),
+    "dwell_segments": (q_dwell_segments, SQL_DWELL_SEGMENTS),
+    "od_flows": (q_od_flows, SQL_OD_FLOWS),
 }
 
 
