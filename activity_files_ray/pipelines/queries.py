@@ -1245,6 +1245,85 @@ FROM od GROUP BY o_cell, d_cell
 """
 
 
+DBSCAN_LEVEL = 7  # ~2.8° cells — probed: multi-cell clusters at every sf
+DBSCAN_MIN_PTS = 2
+# Unrolled min-label rounds for the SQL oracle. Probed eccentricity of
+# each component's min-id cell: 1 (sf0.001), 8 (sf0.01), 98 (sf0.1) —
+# 128 covers the worst case with margin, and the oracle emits a poison
+# row if the last two rounds still differ (non-convergence is loud,
+# never silent).
+_DBSCAN_SQL_ROUNDS = 128
+
+
+def q_grid_dbscan(sf_dir: str):
+    """Density-based clustering (grid DBSCAN): cells at
+    ``DBSCAN_LEVEL`` holding >= ``DBSCAN_MIN_PTS`` points are core;
+    8-neighbor core cells connect; clusters = connected components
+    labelled by min cell id. The corpus lift of the reference's
+    stopped-point grouping (raw_editor.dart pause detection). Plan in
+    :mod:`activity_files_ray.spatial.dbscan`: bucketed per-cell
+    counts → hash-bucketed vectorized adjacency join (no broadcast
+    core set) → alternating-star Dataset CC → bucketed cluster
+    stats. Nothing driver-side scales with the corpus."""
+    from ..spatial import dbscan
+
+    enc = _derived_points_ds(sf_dir, with_cd=False).map_batches(
+        stages.add_cell_columns,
+        batch_format="pyarrow",
+        fn_kwargs={"level": DBSCAN_LEVEL, "prefix_level": DBSCAN_LEVEL},
+        batch_size=None,
+    )
+    return dbscan.grid_dbscan(
+        enc.select_columns(["cell"]), DBSCAN_LEVEL, DBSCAN_MIN_PTS
+    )
+
+
+def _sql_grid_dbscan() -> str:
+    """DuckDB oracle: same cell formula, 3x3 equi-join adjacency
+    (longitude wraps mod 2^level, latitude offsets outside the grid
+    are filtered), then ``_DBSCAN_SQL_ROUNDS`` unrolled rounds of
+    min-label propagation over the (self-edge-including) edge set —
+    DuckDB 1.x recursive CTEs cannot aggregate in the recursive term,
+    and the plain transitive-closure CTE is quadratic in component
+    size, so the propagation is generated as a chain of MATERIALIZED
+    CTEs instead (linear in edges per round)."""
+    m = 1 << 29
+    n = 1 << DBSCAN_LEVEL
+    cell = cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, DBSCAN_LEVEL)
+    r = _DBSCAN_SQL_ROUNDS
+    rounds = "".join(
+        f", l{i} AS MATERIALIZED (\n"
+        f"  SELECT e.u AS cell, MIN(l.lbl) AS lbl\n"
+        f"  FROM edges e JOIN l{i - 1} l ON l.cell = e.v GROUP BY e.u)\n"
+        for i in range(1, r + 1)
+    )
+    return f"""
+WITH pts AS (SELECT {cell} AS cell FROM events),
+counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY cell),
+core AS MATERIALIZED (SELECT cell, n FROM counts WHERE n >= {DBSCAN_MIN_PTS}),
+offs AS (SELECT dx.d AS dx, dy.d AS dy
+         FROM (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),
+nbr AS (
+  SELECT c.cell AS u,
+    (((c.cell // {m}) + o.dx + {n}) % {n}) * {m} + ((c.cell % {m}) + o.dy) AS vk
+  FROM core c CROSS JOIN offs o
+  WHERE (c.cell % {m}) + o.dy BETWEEN 0 AND {n - 1}
+),
+edges AS MATERIALIZED (
+  SELECT nbr.u, c2.cell AS v FROM nbr JOIN core c2 ON c2.cell = nbr.vk
+),
+l0 AS (SELECT cell, cell AS lbl FROM core)
+{rounds}
+SELECT l.lbl AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(c.n) AS BIGINT) AS n_pts
+FROM l{r} l JOIN core c ON c.cell = l.cell GROUP BY l.lbl
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+WHERE EXISTS (SELECT 1 FROM l{r} a JOIN l{r - 1} b ON b.cell = a.cell
+              WHERE a.lbl <> b.lbl)
+"""
+
+
 # =========================================================================
 # Documents: dedup + text analysis
 # =========================================================================
@@ -2779,6 +2858,7 @@ QUERIES: dict[str, tuple] = {
     "pip_grid_counts": (q_pip_grid_counts, SQL_PIP_GRID_COUNTS),
     "dwell_segments": (q_dwell_segments, SQL_DWELL_SEGMENTS),
     "od_flows": (q_od_flows, SQL_OD_FLOWS),
+    "grid_dbscan": (q_grid_dbscan, _sql_grid_dbscan),
 }
 
 
