@@ -616,6 +616,51 @@ FROM fine GROUP BY tile
 """
 
 
+def q_tile_mosaic(sf_dir: str):
+    """Tile-pyramid OVERVIEW build (geo×image): parent tiles at
+    ``HEATMAP_TILE_LEVEL - 1`` mosaicked from their ≤4 child heatmap
+    PNGs — decode, compose into quadrants, 2×2 average-pool (floor),
+    re-encode. The stats compare the DECODED parent image, so the
+    oracle over raw points checks the full
+    decode→compose→pool→encode→decode chain; the child images are
+    themselves rendered from points in the same run (no fixture).
+    Scale shape: points pay one encode+count pass (inside
+    ``heatmap_tile_images``); the mosaic stage only ever moves TILE
+    rows through a ≤4-row ``groupby(parent)``."""
+    tiles = stages.heatmap_tile_images(
+        _derived_points_ds(sf_dir),
+        tile_level=HEATMAP_TILE_LEVEL,
+        fine_level=HEATMAP_FINE_LEVEL,
+    )
+    return stages.mosaic_downsample(tiles, HEATMAP_TILE_LEVEL).select_columns(
+        ["tile", "w", "h", "n_lit", "px_sum"]
+    )
+
+
+# parent pixel = floor(avg of the 4 child pixels) = the 2×2 pool of
+# clamped fine-cell counts = SUM(LEAST(n,255)) // 4 grouped by the
+# level-(FINE-1) cell; the parent tile is that cell coarsened by the
+# same pixels-per-tile shift the child tiles use.
+SQL_TILE_MOSAIC = f"""
+WITH fine AS (
+  SELECT {cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, HEATMAP_FINE_LEVEL)} AS cell,
+         COUNT(*) AS n
+  FROM events GROUP BY cell
+), px AS (
+  SELECT ((cell // 536870912) // 2) * 536870912 + ((cell % 536870912) // 2) AS pcell,
+         SUM(LEAST(n, 255)) // 4 AS v
+  FROM fine GROUP BY pcell
+)
+SELECT ((pcell // 536870912) // {1 << _HEAT_D}) * 536870912
+         + ((pcell % 536870912) // {1 << _HEAT_D}) AS tile,
+       CAST({1 << _HEAT_D} AS INTEGER) AS w,
+       CAST({1 << _HEAT_D} AS INTEGER) AS h,
+       CAST(COUNT(*) FILTER (WHERE v > 0) AS BIGINT) AS n_lit,
+       CAST(SUM(v) AS BIGINT) AS px_sum
+FROM px GROUP BY tile
+"""
+
+
 SQL_CELL_PYRAMID = " UNION ALL ".join(
     f"SELECT CAST({lv} AS BIGINT) AS level, "
     f"{cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, lv)} AS cell, "
@@ -2813,6 +2858,7 @@ QUERIES: dict[str, tuple] = {
     "cell_counts": (q_cell_counts, SQL_CELL_COUNTS),
     "cell_pyramid": (q_cell_pyramid, SQL_CELL_PYRAMID),
     "heatmap_tiles": (q_heatmap_tiles, SQL_HEATMAP_TILES),
+    "tile_mosaic": (q_tile_mosaic, SQL_TILE_MOSAIC),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),

@@ -1204,3 +1204,72 @@ def heatmap_tile_images(
         .groupby("tile")
         .map_groups(render, batch_format="pandas")
     )
+
+
+def mosaic_downsample(tiles_ds, tile_level: int):
+    """Tile-pyramid OVERVIEW build (the gdal2tiles/slippy-map step):
+    parent tiles at ``tile_level - 1`` mosaicked from their ≤4 child
+    heatmap tiles — each child PNG is DECODED, composed into its
+    quadrant of a 2s×2s canvas (missing children stay zero), and
+    2×2 average-pooled with floor back to an s×s parent PNG. Pixel
+    placement keeps row 0 = north: a child with odd iy (northern
+    half) lands in canvas rows [0, s).
+
+    Scale shape: the input is the TILE table (sub-linear in points);
+    one ``groupby(parent)`` co-locates ≤4 rows per group, so image
+    bytes only ever move at tile granularity and per-group state is
+    one 2s×2s uint8 canvas. Chained calls walk the whole pyramid —
+    each level reads only the previous level's tiles, never the
+    points.
+
+    Honesty contract (same as :func:`heatmap_tile_images`): the
+    returned ``n_lit`` / ``px_sum`` stats come from the DECODED
+    parent png, so an oracle over the raw points checks the full
+    decode→compose→pool→encode→decode chain.
+
+    Returns (tile:int64, w:int32, h:int32, n_lit:int64,
+    px_sum:int64, png:binary) at ``tile_level - 1``."""
+    import pandas as pd
+
+    if tile_level < 1:
+        raise ValueError("tile_level must be >= 1")
+
+    def add_parent(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["tile"].to_numpy(np.int64)
+        return df.assign(
+            parent=cells.parent_cell_id(cid, tile_level, tile_level - 1)
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        parent = int(g["parent"].iloc[0])
+        size = int(g["w"].iloc[0])
+        canvas = np.zeros((2 * size, 2 * size), dtype=np.int64)
+        for tile, png in zip(g["tile"].to_numpy(np.int64), g["png"]):
+            ix, iy = cells.xy_from_cell_id(np.array([tile], dtype=np.int64))
+            qx, qy = int(ix[0]) & 1, int(iy[0]) & 1
+            img = imaging.decode_png(png)[:, :, 0].astype(np.int64)
+            canvas[(1 - qy) * size : (2 - qy) * size, qx * size : (qx + 1) * size] = img
+        pooled = (
+            canvas[0::2, 0::2] + canvas[0::2, 1::2]
+            + canvas[1::2, 0::2] + canvas[1::2, 1::2]
+        ) // 4
+        png = imaging.encode_png(
+            np.repeat(pooled.astype(np.uint8)[:, :, None], 3, axis=2)
+        )
+        dec = imaging.decode_png(png)[:, :, 0]
+        return pd.DataFrame(
+            {
+                "tile": [parent],
+                "w": [np.int32(size)],
+                "h": [np.int32(size)],
+                "n_lit": [np.int64((dec > 0).sum())],
+                "px_sum": [np.int64(dec.astype(np.int64).sum())],
+                "png": [png],
+            }
+        )
+
+    return (
+        tiles_ds.map_batches(add_parent, batch_format="pandas", batch_size=None)
+        .groupby("parent")
+        .map_groups(assemble, batch_format="pandas")
+    )

@@ -941,3 +941,84 @@ class TestHeatmapTiles:
         assert len(out) == 1 and out.iloc[0].px_sum == 255
         dec = imaging.decode_png(out.iloc[0].png)[:, :, 0]
         assert dec.max() == 255 and (dec > 0).sum() == 1
+
+
+class TestMosaicDownsample:
+    """Tile-pyramid overview build: quadrant placement, floor
+    pooling, missing-children zeros, decoded-stats honesty."""
+
+    def _tiles_from_points(self, pdf, tile_level, fine_level):
+        import ray.data as rd
+
+        return stages.heatmap_tile_images(
+            rd.from_pandas(pdf), tile_level, fine_level, n_buckets=4
+        )
+
+    def test_quadrant_placement_and_floor_pool(self):
+        from activity_files_ray.functions import cells, imaging
+
+        tile_level, fine_level = 2, 5  # 8x8 children → 8x8 parent
+        d = fine_level - tile_level
+        size = 1 << d
+        # 3 points in ONE fine cell → child pixel 3 → parent pixel
+        # floor(3/4) = 0; 5 points in another (same 2×2 fine quad)
+        # → pooled (3+5)//4 = 2
+        base = cells.cell_id(np.array([10.0]), np.array([20.0]), fine_level)
+        ix, iy = cells.xy_from_cell_id(base)
+        ix, iy = int(ix[0]) & ~1, int(iy[0]) & ~1  # align to the 2×2 quad
+        c1 = cells.cell_id_from_xy(np.array([ix]), np.array([iy]))
+        c2 = cells.cell_id_from_xy(np.array([ix + 1]), np.array([iy + 1]))
+        la1, lo1 = cells.cell_center(c1, fine_level)
+        la2, lo2 = cells.cell_center(c2, fine_level)
+        pdf = pd.DataFrame(
+            {"lat": [la1[0]] * 3 + [la2[0]] * 5, "lon": [lo1[0]] * 3 + [lo2[0]] * 5}
+        )
+        children = self._tiles_from_points(pdf, tile_level, fine_level)
+        out = stages.mosaic_downsample(children, tile_level).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row.w, row.h) == (size, size)
+        assert row.px_sum == 2 and row.n_lit == 1
+        dec = imaging.decode_png(row.png)[:, :, 0]
+        # the lit parent pixel is the level fine-1 cell (ix//2, iy//2)
+        # placed inside the 2s×2s fine-1 grid of the parent tile
+        pix, piy = ix >> 1, iy >> 1
+        tx, ty = cells.xy_from_cell_id(np.array([row.tile], dtype=np.int64))
+        x0 = pix - (int(tx[0]) << d)
+        y0 = piy - (int(ty[0]) << d)
+        assert dec[size - 1 - y0, x0] == 2
+        assert dec.sum() == 2
+
+    def test_missing_children_stay_zero(self):
+        # a single child tile in one quadrant: the other 3 quadrants
+        # of the parent canvas must stay zero and n_lit tracks only
+        # the real child's pixels
+        from activity_files_ray.functions import imaging
+
+        pdf = pd.DataFrame({"lat": [10.0] * 8, "lon": [20.0] * 8})
+        children = self._tiles_from_points(pdf, 2, 5)
+        out = stages.mosaic_downsample(children, 2).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row.px_sum == 8 // 4 and row.n_lit == 1
+        dec = imaging.decode_png(row.png)[:, :, 0]
+        assert (dec > 0).sum() == 1
+
+    def test_chained_levels_walk_the_pyramid(self):
+        # two mosaic steps: level 3 tiles → 2 → 1; each level's tile
+        # ids must coarsen consistently and stats stay non-negative
+        pdf = pd.DataFrame(
+            {"lat": [10.0, 10.1, -5.0, 44.0], "lon": [20.0, 20.1, 100.0, -60.0]}
+        )
+        lv3 = self._tiles_from_points(pdf, 3, 6).materialize()
+        lv2 = stages.mosaic_downsample(lv3, 3).materialize()
+        lv1 = stages.mosaic_downsample(lv2, 2).to_pandas()
+        from activity_files_ray.functions import cells
+
+        t3 = lv3.to_pandas()["tile"].to_numpy(np.int64)
+        t2 = lv2.to_pandas()["tile"].to_numpy(np.int64)
+        assert set(cells.parent_cell_id(t3, 3, 2).tolist()) == set(t2.tolist())
+        assert set(cells.parent_cell_id(t2, 2, 1).tolist()) == set(
+            lv1["tile"].astype("int64").tolist()
+        )
+        assert (lv1["px_sum"] >= 0).all() and (lv1["n_lit"] >= 0).all()
