@@ -1369,6 +1369,43 @@ WHERE EXISTS (SELECT 1 FROM l{r} a JOIN l{r - 1} b ON b.cell = a.cell
 """
 
 
+PROX_D_CD = 200  # 2.00° Chebyshev box
+PROX_T_US = 2880 * 60 * 1_000_000  # 48 h window
+
+
+def q_proximity_pairs(sf_dir: str):
+    """Spatio-temporal proximity join (encounter detection): user
+    pairs with >= 1 point pair within ``PROX_D_CD`` centidegrees AND
+    ``PROX_T_US`` — the contact-tracing / co-travel primitive. Plan
+    in :mod:`activity_files_ray.spatial.proximity`: grid-bucket
+    self-join with HALF-SPACE probing (13 of 27 offsets — each
+    qualifying point pair is generated in exactly ONE
+    (cell, tbucket) group), vectorized in-group verification, then
+    the hash-partitioned two-phase aggregate over (ua, ub) —
+    user-pair cardinality tracks the corpus, so the driver-merged
+    tree is banned (agg.py rule)."""
+    from ..spatial import proximity
+
+    return proximity.proximity_pairs(
+        _user_points_ds(sf_dir), PROX_D_CD, PROX_T_US
+    )
+
+
+SQL_PROXIMITY_PAIRS = f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+    {EVENT_LAT_CD} AS la, {EVENT_LON_CD} AS lo
+  FROM events
+)
+SELECT a.user_id AS ua, b.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM p a JOIN p b ON a.user_id < b.user_id
+ AND ABS(a.la - b.la) <= {PROX_D_CD}
+ AND ABS(a.lo - b.lo) <= {PROX_D_CD}
+ AND ABS(a.ts_us - b.ts_us) <= {PROX_T_US}
+GROUP BY ua, ub
+"""
+
+
 # =========================================================================
 # Documents: dedup + text analysis
 # =========================================================================
@@ -2905,6 +2942,7 @@ QUERIES: dict[str, tuple] = {
     "dwell_segments": (q_dwell_segments, SQL_DWELL_SEGMENTS),
     "od_flows": (q_od_flows, SQL_OD_FLOWS),
     "grid_dbscan": (q_grid_dbscan, _sql_grid_dbscan),
+    "proximity_pairs": (q_proximity_pairs, SQL_PROXIMITY_PAIRS),
 }
 
 
