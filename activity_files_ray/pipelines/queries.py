@@ -661,6 +661,71 @@ FROM px GROUP BY tile
 """
 
 
+def q_zonal_stats(sf_dir: str):
+    """ZONAL STATISTICS (raster×vector): per-region aggregates over
+    the DECODED pixels of the heatmap raster — sum of pixel values
+    and lit-pixel count for every polygon region. The classic
+    raster-zonal pattern: tiles decode to lit-pixel points (fine-cell
+    centers, ≤ occupied cells rows — never tiles × area), the
+    broadcast PIP join assigns regions, and per-batch partials fold
+    through the combiner tree (region cardinality is a BOUNDED
+    dimension, so the driver-merged tree is the right plan per
+    agg.py's rule). Float parity note: at FINE=9 a cell center is an
+    exact binary fraction (180/512, 360/512), so the kernel's
+    (lat_min+lat_max)/2 and the oracle's (iy+0.5)*step-90 are
+    bit-identical."""
+    import ray
+
+    tiles = stages.heatmap_tile_images(
+        _derived_points_ds(sf_dir),
+        tile_level=HEATMAP_TILE_LEVEL,
+        fine_level=HEATMAP_FINE_LEVEL,
+    )
+    idx_ref = ray.put(polygons.PolygonIndex(ORACLE_REGIONS))
+    px = tiles.map_batches(
+        stages.decode_tile_pixels,
+        fn_kwargs={
+            "tile_level": HEATMAP_TILE_LEVEL,
+            "fine_level": HEATMAP_FINE_LEVEL,
+        },
+        batch_format="pandas",
+        batch_size=None,
+    )
+    joined = px.map_batches(
+        stages.pip_join_batch,
+        fn_kwargs={"index_ref": idx_ref},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return agg.tree_aggregate(
+        joined.select_columns(["region_id", "v"]),
+        ["region_id"],
+        {"px_sum": ("v", "sum"), "n_lit": ("", "count")},
+    )
+
+
+def _sql_zonal_stats() -> str:
+    n = 1 << HEATMAP_FINE_LEVEL
+    lat_c = f"(((cell % 536870912) + 0.5) * {180.0 / n} - 90.0)"
+    lon_c = f"(((cell // 536870912) + 0.5) * {360.0 / n} - 180.0)"
+    cell = cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, HEATMAP_FINE_LEVEL)
+    parts = [
+        f"SELECT '{p.region_id}' AS region_id, v FROM fine "
+        f"WHERE {polygons.convex_pip_sql_expr(p, lat_c, lon_c)}"
+        for p in ORACLE_REGIONS
+    ]
+    inner = " UNION ALL ".join(parts)
+    return f"""
+WITH fine AS (
+  SELECT cell, LEAST(COUNT(*), 255) AS v
+  FROM (SELECT {cell} AS cell FROM events) GROUP BY cell
+)
+SELECT region_id, CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_lit
+FROM ({inner}) GROUP BY region_id
+"""
+
+
 SQL_CELL_PYRAMID = " UNION ALL ".join(
     f"SELECT CAST({lv} AS BIGINT) AS level, "
     f"{cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, lv)} AS cell, "
@@ -2896,6 +2961,7 @@ QUERIES: dict[str, tuple] = {
     "cell_pyramid": (q_cell_pyramid, SQL_CELL_PYRAMID),
     "heatmap_tiles": (q_heatmap_tiles, SQL_HEATMAP_TILES),
     "tile_mosaic": (q_tile_mosaic, SQL_TILE_MOSAIC),
+    "zonal_stats": (q_zonal_stats, _sql_zonal_stats),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),

@@ -1273,3 +1273,45 @@ def mosaic_downsample(tiles_ds, tile_level: int):
         .groupby("parent")
         .map_groups(assemble, batch_format="pandas")
     )
+
+
+def decode_tile_pixels(df, tile_level: int, fine_level: int):
+    """Raster→points: DECODE each heatmap tile PNG and emit one row
+    per LIT pixel — the fine cell's center (lat, lon) plus the pixel
+    value ``v``. The read-side inverse of :func:`heatmap_tile_images`
+    (and the point-shaped sibling of ``route_tile_batch``): zonal
+    statistics, raster re-vectorization and raster×vector joins all
+    start here. Output volume is bounded by LIT pixels (≤ occupied
+    fine cells), never by tile count × tile area."""
+    import pandas as pd
+
+    d = fine_level - tile_level
+    size = 1 << d
+    las, los, vs = [], [], []
+    for tile, png in zip(df["tile"].to_numpy(np.int64), df["png"]):
+        img = imaging.decode_png(png)[:, :, 0]
+        rr, cc = np.nonzero(img)
+        if not len(rr):
+            continue
+        tx, ty = cells.xy_from_cell_id(np.array([tile], dtype=np.int64))
+        ix = (int(tx[0]) << d) + cc
+        iy = (int(ty[0]) << d) + (size - 1 - rr)  # row 0 = north
+        la, lo = cells.cell_center(cells.cell_id_from_xy(ix, iy), fine_level)
+        las.append(la)
+        los.append(lo)
+        vs.append(img[rr, cc].astype(np.int64))
+    if not las:
+        return pd.DataFrame(
+            {
+                "lat": np.array([], dtype=np.float64),
+                "lon": np.array([], dtype=np.float64),
+                "v": np.array([], dtype=np.int64),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "lat": np.concatenate(las),
+            "lon": np.concatenate(los),
+            "v": np.concatenate(vs),
+        }
+    )

@@ -1022,3 +1022,52 @@ class TestMosaicDownsample:
             lv1["tile"].astype("int64").tolist()
         )
         assert (lv1["px_sum"] >= 0).all() and (lv1["n_lit"] >= 0).all()
+
+
+class TestDecodeTilePixels:
+    """Raster→points inverse: decoding the rendered tiles recovers
+    exactly the clamped per-cell counts at exact cell centers."""
+
+    def test_roundtrip_recovers_clamped_counts(self):
+        import ray.data as rd
+
+        from activity_files_ray.functions import cells
+
+        tile_level, fine_level = 2, 5
+        rng = np.random.RandomState(5)
+        lat = rng.uniform(-60, 60, 500)
+        lon = rng.uniform(-170, 170, 500)
+        tiles = stages.heatmap_tile_images(
+            rd.from_pandas(pd.DataFrame({"lat": lat, "lon": lon})),
+            tile_level, fine_level, n_buckets=4,
+        )
+        px = tiles.map_batches(
+            stages.decode_tile_pixels,
+            fn_kwargs={"tile_level": tile_level, "fine_level": fine_level},
+            batch_format="pandas", batch_size=None,
+        ).to_pandas()
+        # recovered cells+values == direct clamped counts
+        got = (
+            pd.DataFrame(
+                {
+                    "cell": cells.cell_id(
+                        px["lat"].to_numpy(), px["lon"].to_numpy(), fine_level
+                    ),
+                    "v": px["v"].astype("int64"),
+                }
+            )
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        direct = (
+            pd.Series(cells.cell_id(lat, lon, fine_level))
+            .value_counts()
+            .clip(upper=255)
+            .rename_axis("cell")
+            .reset_index(name="v")
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, direct.astype({"cell": "int64", "v": "int64"}))
+        # centers are exact binary fractions → re-encoding is lossless
+        assert (px["v"] >= 1).all()
