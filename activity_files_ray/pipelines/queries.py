@@ -1544,6 +1544,63 @@ FROM documents GROUP BY lang
 """
 
 
+VOCAB_TOPK = 50
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus VOCABULARY build (the BPE/tokenizer-prep primitive):
+    global top-``VOCAB_TOPK`` tokens by term frequency, with document
+    frequency carried alongside. Tokenizer shared with the oracle
+    (`\\S+`). Scale shape: per-batch partials collapse each batch to
+    one row per (token) — DF is exact because a document is one row
+    and never splits across batches, so in-batch (doc, token) dedup
+    is global dedup — then ``agg.bucketed_topk`` folds the top-k
+    INSIDE each bucket's merge: the driver sees ≤ k × n_buckets
+    candidate rows, never the vocabulary (which at 10^12 docs is
+    billions of keys)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "token": df["text"].fillna("").str.findall(r"\S+"),
+                }
+            )
+            .explode("token")
+            .dropna(subset=["token"])
+        )
+        tf = ex.groupby("token", as_index=False).agg(tf=("doc_id", "count"))
+        dfreq = (
+            ex.drop_duplicates()
+            .groupby("token", as_index=False)
+            .agg(n_docs=("doc_id", "count"))
+        )
+        return tf.merge(dfreq, on="token")
+
+    return agg.bucketed_topk(
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
+        ["token"],
+        {"tf": ("tf", "sum"), "n_docs": ("n_docs", "sum")},
+        sort_by=["tf", "token"],
+        ascending=[False, True],
+        k=VOCAB_TOPK,
+    )
+
+
+SQL_VOCAB_TOPK = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok GROUP BY token
+ORDER BY tf DESC, token LIMIT {VOCAB_TOPK}
+"""
+
+
 def q_doc_fingerprint_groups(sf_dir: str):
     """Near-dup clustering key: first-5-token fingerprint groups
     (document fingerprinting family, task brief)."""
@@ -2970,6 +3027,7 @@ QUERIES: dict[str, tuple] = {
     "knn_poi_copart": (q_knn_poi_copart, SQL_KNN_POI),
     "doc_dedup_exact": (q_doc_dedup_exact, SQL_DOC_DEDUP_EXACT),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "doc_fingerprint_groups": (q_doc_fingerprint_groups, SQL_DOC_FINGERPRINT),
     "lang_id_counts": (q_lang_id_counts, SQL_LANG_ID_COUNTS),
     "fit_extra_roundtrip": (q_fit_extra_roundtrip, SQL_FIT_EXTRA_ROUNDTRIP),
