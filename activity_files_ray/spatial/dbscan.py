@@ -180,7 +180,8 @@ def grid_dbscan(cell_ds, level: int, min_pts: int, n_buckets: int | None = None)
         return out.drop_duplicates(["block", "cell"])
 
     tagged = (
-        counts.map_batches(emit_blocks, batch_format="pandas", batch_size=None)
+        # 9x halo emission — bound the per-task frame explicitly
+        counts.map_batches(emit_blocks, batch_format="pandas", batch_size=262144)
         .groupby("block")
         .map_groups(lambda g: _local_pieces(g, level), batch_format="pandas")
         .materialize()  # consumed by the final rows AND the hook graph

@@ -150,7 +150,9 @@ def proximity_pairs(
         )
 
     hits = (
-        pts_ds.map_batches(emit, batch_format="pandas", batch_size=None)
+        # emission multiplies rows 14x — bound the per-task frame by
+        # an explicit batch_size instead of whole-block batches
+        pts_ds.map_batches(emit, batch_format="pandas", batch_size=65536)
         .groupby(["cx", "cy", "tb"])
         .map_groups(verify, batch_format="pandas")
     )
