@@ -1601,6 +1601,72 @@ ORDER BY tf DESC, token LIMIT {VOCAB_TOPK}
 """
 
 
+LANG_TOPK = 10
+
+
+def q_lang_top_tokens(sf_dir: str):
+    """GROUPED ranked top-k (the ROW_NUMBER-per-partition family):
+    the ``LANG_TOPK`` most frequent tokens per language, with rank.
+    Scale shape: (lang, token) counts through ``bucketed_aggregate``
+    with a per-bucket HAVING that keeps each bucket's per-lang top-k
+    — a global per-lang top-k row is necessarily in its own bucket's
+    per-lang top-k (every key lives in exactly one bucket), so the
+    driver folds ≤ langs × k × n_buckets candidate rows, never a
+    language's vocabulary."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            pd.DataFrame(
+                {
+                    "lang": df["lang"],
+                    "token": df["text"].fillna("").str.findall(r"\S+"),
+                }
+            )
+            .explode("token")
+            .dropna(subset=["token"])
+        )
+        return ex.groupby(["lang", "token"], as_index=False).agg(
+            tf=("token", "count")
+        )
+
+    def per_lang_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["tf", "token"], ascending=[False, True], kind="mergesort")
+            .groupby("lang", as_index=False, sort=False)
+            .head(LANG_TOPK)
+        )
+
+    parts = agg.bucketed_aggregate(
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
+        ["lang", "token"],
+        {"tf": ("tf", "sum")},
+        having=per_lang_topk,
+    )
+    out = per_lang_topk(parts.to_pandas())
+    out = out.sort_values(
+        ["lang", "tf", "token"], ascending=[True, False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    out["rn"] = out.groupby("lang").cumcount().astype("int64") + 1
+    return out[["lang", "token", "tf", "rn"]]
+
+
+SQL_LANG_TOP_TOKENS = rf"""
+WITH t AS (
+  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents
+), c AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM t GROUP BY lang, token
+)
+SELECT lang, token, tf, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT lang, token, tf,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rn
+  FROM c
+) WHERE rn <= {LANG_TOPK}
+"""
+
+
 def q_doc_fingerprint_groups(sf_dir: str):
     """Near-dup clustering key: first-5-token fingerprint groups
     (document fingerprinting family, task brief)."""
@@ -3028,6 +3094,7 @@ QUERIES: dict[str, tuple] = {
     "doc_dedup_exact": (q_doc_dedup_exact, SQL_DOC_DEDUP_EXACT),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "lang_top_tokens": (q_lang_top_tokens, SQL_LANG_TOP_TOKENS),
     "doc_fingerprint_groups": (q_doc_fingerprint_groups, SQL_DOC_FINGERPRINT),
     "lang_id_counts": (q_lang_id_counts, SQL_LANG_ID_COUNTS),
     "fit_extra_roundtrip": (q_fit_extra_roundtrip, SQL_FIT_EXTRA_ROUNDTRIP),
