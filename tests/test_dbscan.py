@@ -138,3 +138,27 @@ class TestGridDbscan:
         ds = rd.from_pandas(pd.DataFrame({"cell": rows}))
         out = dbscan.grid_dbscan(ds, 7, 2).to_pandas()
         assert len(out) == 1 and int(out.loc[0, "n_cells"]) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLateR4ScaleContracts:
+    """Plan pins for the late-r4 operators (TestFlagshipScalePlan
+    style): distributed results stay Datasets; driver-side frames
+    exist only where cardinality is bounded by construction."""
+
+    def test_distributed_queries_return_datasets(self, sf_dir):
+        import ray.data
+
+        from activity_files_ray.pipelines import queries as q
+
+        for fn in (q.q_grid_dbscan, q.q_proximity_pairs, q.q_tile_mosaic):
+            assert isinstance(fn(sf_dir), ray.data.Dataset), fn.__name__
+
+    def test_topk_driver_frames_are_bounded(self, sf_dir):
+        from activity_files_ray.pipelines import queries as q
+
+        vocab = q.q_vocab_topk(sf_dir)
+        assert len(vocab) <= q.VOCAB_TOPK
+        ranks = q.q_lang_top_tokens(sf_dir)
+        assert ranks.groupby("lang").size().max() <= q.LANG_TOPK
+        assert (ranks.groupby("lang")["rn"].max() <= q.LANG_TOPK).all()
