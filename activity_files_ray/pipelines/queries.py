@@ -704,6 +704,105 @@ def q_zonal_stats(sf_dir: str):
     )
 
 
+DIFF_TYPE_A, DIFF_TYPE_B = "click", "error"
+
+
+def q_tile_diff(sf_dir: str):
+    """Raster MAP ALGEBRA (two-band difference): render the 'click'
+    and 'error' event populations into the same tile grid and emit a
+    signed per-pixel difference image per tile (offset-128 encoding,
+    clamped to [0,255]) plus stats from the DECODED diff image. ONE
+    input pass and ONE exchange: per-(cell, band) counts fold through
+    ``bucketed_aggregate``; each ``groupby(tile)`` group renders both
+    layers and subtracts in place — image bytes exist only at tile
+    granularity, and neither band's raster is materialized corpus-
+    wide. Offset pixels equal to 128 (equal counts) drop out of every
+    stat, so decoded-image stats equal the SQL replay without needing
+    data-presence bookkeeping."""
+    d = HEATMAP_FINE_LEVEL - HEATMAP_TILE_LEVEL
+    size = 1 << d
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (typ == DIFF_TYPE_A) | (typ == DIFF_TYPE_B)
+        e = t["event_id"].to_numpy()[keep]
+        lat_cd, lon_cd = event_latlon_cd(e)
+        cell = cells.cell_id(lat_cd / 100.0, lon_cd / 100.0, HEATMAP_FINE_LEVEL)
+        return pa.table(
+            {"cell": pa.array(cell), "is_a": pa.array((typ[keep] == DIFF_TYPE_A).astype(np.int64))}
+        )
+
+    counts = agg.bucketed_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None),
+        ["cell"],
+        {"na": ("is_a", "sum"), "n_all": ("", "count")},
+    )
+
+    def render_diff(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import imaging
+
+        tile = int(df["tile"].iloc[0])
+        ix, iy = cells.xy_from_cell_id(df["cell"].to_numpy(np.int64))
+        tx, ty = cells.xy_from_cell_id(np.array([tile], dtype=np.int64))
+        x = ix - (int(tx[0]) << d)
+        y = iy - (int(ty[0]) << d)
+        na = df["na"].to_numpy(np.int64)
+        nb = df["n_all"].to_numpy(np.int64) - na
+        a = np.zeros((size, size), dtype=np.int64)
+        b = np.zeros((size, size), dtype=np.int64)
+        a[size - 1 - y, x] = np.minimum(na, 255)
+        b[size - 1 - y, x] = np.minimum(nb, 255)
+        diff = np.clip(128 + a - b, 0, 255).astype(np.uint8)
+        png = imaging.encode_png(np.repeat(diff[:, :, None], 3, axis=2))
+        dec = imaging.decode_png(png)[:, :, 0].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "tile": [tile],
+                "w": [np.int32(size)],
+                "h": [np.int32(size)],
+                "n_pos": [np.int64((dec > 128).sum())],
+                "n_neg": [np.int64((dec < 128).sum())],
+                "sum_abs": [np.int64(np.abs(dec - 128).sum())],
+            }
+        )
+
+    def add_tile(t: pa.Table) -> pa.Table:
+        cid = t["cell"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "tile",
+            pa.array(cells.parent_cell_id(cid, HEATMAP_FINE_LEVEL, HEATMAP_TILE_LEVEL)),
+        )
+
+    return (
+        counts.map_batches(add_tile, batch_format="pyarrow", batch_size=None)
+        .groupby("tile")
+        .map_groups(render_diff, batch_format="pandas")
+    )
+
+
+SQL_TILE_DIFF = f"""
+WITH fine AS (
+  SELECT {cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, HEATMAP_FINE_LEVEL)} AS cell,
+    SUM(CASE WHEN event_type = '{DIFF_TYPE_A}' THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN event_type = '{DIFF_TYPE_B}' THEN 1 ELSE 0 END) AS nb
+  FROM events WHERE event_type IN ('{DIFF_TYPE_A}', '{DIFF_TYPE_B}')
+  GROUP BY cell
+), px AS (
+  SELECT ((cell // 536870912) // {1 << _HEAT_D}) * 536870912
+           + ((cell % 536870912) // {1 << _HEAT_D}) AS tile,
+    LEAST(GREATEST(128 + LEAST(na, 255) - LEAST(nb, 255), 0), 255) AS v
+  FROM fine
+)
+SELECT tile, CAST({1 << _HEAT_D} AS INTEGER) AS w,
+       CAST({1 << _HEAT_D} AS INTEGER) AS h,
+       CAST(COUNT(*) FILTER (WHERE v > 128) AS BIGINT) AS n_pos,
+       CAST(COUNT(*) FILTER (WHERE v < 128) AS BIGINT) AS n_neg,
+       CAST(SUM(ABS(v - 128)) AS BIGINT) AS sum_abs
+FROM px GROUP BY tile
+"""
+
+
 def _sql_zonal_stats() -> str:
     n = 1 << HEATMAP_FINE_LEVEL
     lat_c = f"(((cell % 536870912) + 0.5) * {180.0 / n} - 90.0)"
@@ -3085,6 +3184,7 @@ QUERIES: dict[str, tuple] = {
     "heatmap_tiles": (q_heatmap_tiles, SQL_HEATMAP_TILES),
     "tile_mosaic": (q_tile_mosaic, SQL_TILE_MOSAIC),
     "zonal_stats": (q_zonal_stats, _sql_zonal_stats),
+    "tile_diff": (q_tile_diff, SQL_TILE_DIFF),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
