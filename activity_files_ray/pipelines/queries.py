@@ -704,6 +704,44 @@ def q_zonal_stats(sf_dir: str):
     )
 
 
+BBOX_LAT_CD = (1000, 3000)  # 10.00°..30.00° inclusive
+BBOX_LON_CD = (-6000, -1000)
+BBOX_PREFIX_LEVEL = 3  # 64 world partitions at test scale
+
+
+def q_bbox_partitioned(sf_dir: str):
+    """Spatially-partitioned storage + PRUNED range read (the geo
+    twin of `ann_ivf_partitioned`, SCALE.md §6 layout): points are
+    written hive-partitioned by coarse prefix cell, then the bbox
+    query reads ONLY the covering cells' partitions from storage —
+    IO prune, not just compute prune — with the exact integer
+    predicate applied in-stream. Read-pruned == full-scan equality
+    and a partitions-read < partitions-total pin live in
+    tests/test_layout.py."""
+    import os
+    import shutil
+
+    from ..spatial import layout
+
+    pts = _user_points_ds(sf_dir)
+    out = f"/tmp/afr_geo_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    layout.spatial_write(pts, out, BBOX_PREFIX_LEVEL)
+    ds, _hit, _tot = layout.spatial_read_bbox(
+        out, BBOX_LAT_CD, BBOX_LON_CD, BBOX_PREFIX_LEVEL
+    )
+    if ds is None:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64")})
+    return ds.select_columns(["event_id"])
+
+
+SQL_BBOX_PARTITIONED = f"""
+SELECT event_id FROM events
+WHERE {EVENT_LAT_CD} BETWEEN {BBOX_LAT_CD[0]} AND {BBOX_LAT_CD[1]}
+  AND {EVENT_LON_CD} BETWEEN {BBOX_LON_CD[0]} AND {BBOX_LON_CD[1]}
+"""
+
+
 DIFF_TYPE_A, DIFF_TYPE_B = "click", "error"
 
 
@@ -3185,6 +3223,7 @@ QUERIES: dict[str, tuple] = {
     "tile_mosaic": (q_tile_mosaic, SQL_TILE_MOSAIC),
     "zonal_stats": (q_zonal_stats, _sql_zonal_stats),
     "tile_diff": (q_tile_diff, SQL_TILE_DIFF),
+    "bbox_partitioned": (q_bbox_partitioned, SQL_BBOX_PARTITIONED),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
