@@ -704,6 +704,62 @@ def q_zonal_stats(sf_dir: str):
     )
 
 
+BURST_LEVEL = 4
+BURST_WINDOW_US = 48 * 3600 * 1_000_000
+
+
+def q_cell_max_burst(sf_dir: str):
+    """Keyed SLIDING-window aggregate (the RANGE-window family, per
+    key): for every occupied coarse cell, the maximum number of
+    events inside any ``BURST_WINDOW_US`` window — the hotspot-burst
+    detector. Plan: ONE groupby(cell) exchange co-locates each cell's
+    events; the per-group kernel is a sort + vectorized two-pointer
+    (``searchsorted(ts, ts+T)``), state bounded by one cell's events;
+    output one row per occupied cell, kept as a Dataset (cell
+    cardinality tracks the corpus)."""
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(df["ts_us"].to_numpy(np.int64))
+        j = np.searchsorted(ts, ts + BURST_WINDOW_US, side="right")
+        burst = int((j - np.arange(len(ts))).max())
+        return pd.DataFrame(
+            {"cell": [np.int64(df["cell"].iloc[0])], "max_burst": [np.int64(burst)]}
+        )
+
+    def derive(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy()
+        lat_cd, lon_cd = event_latlon_cd(e)
+        return pa.table(
+            {
+                "cell": pa.array(
+                    cells.cell_id(lat_cd / 100.0, lon_cd / 100.0, BURST_LEVEL)
+                ),
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    pts = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        derive, batch_format="pyarrow", batch_size=None
+    )
+    return pts.groupby("cell").map_groups(per_cell, batch_format="pandas")
+
+
+SQL_CELL_MAX_BURST = f"""
+WITH p AS (
+  SELECT {cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, BURST_LEVEL)} AS cell,
+         epoch_us(ts) AS ts_us
+  FROM events
+), w AS (
+  SELECT cell, COUNT(*) OVER (
+    PARTITION BY cell ORDER BY ts_us
+    RANGE BETWEEN CURRENT ROW AND {BURST_WINDOW_US} FOLLOWING
+  ) AS burst
+  FROM p
+)
+SELECT cell, CAST(MAX(burst) AS BIGINT) AS max_burst FROM w GROUP BY cell
+"""
+
+
 BBOX_LAT_CD = (1000, 3000)  # 10.00°..30.00° inclusive
 BBOX_LON_CD = (-6000, -1000)
 BBOX_PREFIX_LEVEL = 3  # 64 world partitions at test scale
@@ -3224,6 +3280,7 @@ QUERIES: dict[str, tuple] = {
     "zonal_stats": (q_zonal_stats, _sql_zonal_stats),
     "tile_diff": (q_tile_diff, SQL_TILE_DIFF),
     "bbox_partitioned": (q_bbox_partitioned, SQL_BBOX_PARTITIONED),
+    "cell_max_burst": (q_cell_max_burst, SQL_CELL_MAX_BURST),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
