@@ -704,6 +704,79 @@ def q_zonal_stats(sf_dir: str):
     )
 
 
+def q_geofence_transitions(sf_dir: str):
+    """GEOFENCE monitoring (trajectory × polygon, the streaming-geo
+    classic): per user-track, the enter/exit TRANSITIONS against each
+    fence polygon — an 'enter' row at the first point of every
+    inside-run, an 'exit' row at the first outside point after one
+    (tracks still inside at the end stay open). Plan: the ONE user_id
+    shuffle every per-track operator shares; inside each group the
+    4-fence membership matrix is one vectorized half-plane test per
+    fence (`points_in_convex_polygon` — the same kernel family the
+    broadcast PIP join prefilters at scale) and transitions are a
+    flag-diff scan — no Python loop over points. Output rows are
+    transitions only (≪ points)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+        la = df["lat_cd"].to_numpy(np.int64) / 100.0
+        lo = df["lon_cd"].to_numpy(np.int64) / 100.0
+        ts = df["ts_us"].to_numpy(np.int64)
+        uid = np.int64(df["user_id"].iloc[0])
+        out = []
+        for p in ORACLE_REGIONS:
+            cur = polygons.points_in_convex_polygon(la, lo, p).astype(np.int8)
+            prev = np.concatenate(([np.int8(0)], cur[:-1]))
+            ent = np.flatnonzero((cur == 1) & (prev == 0))
+            ext = np.flatnonzero((cur == 0) & (prev == 1))
+            for idx, kind in ((ent, "enter"), (ext, "exit")):
+                if len(idx):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "user_id": np.full(len(idx), uid),
+                                "ts_us": ts[idx],
+                                "region_id": p.region_id,
+                                "kind": kind,
+                            }
+                        )
+                    )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "region_id": pd.Series([], dtype="str"),
+                    "kind": pd.Series([], dtype="str"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return _user_points_ds(sf_dir).groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
+def _sql_geofence_transitions() -> str:
+    parts = []
+    for p in ORACLE_REGIONS:
+        pip = polygons.convex_pip_sql_expr(p, "(lat_cd / 100.0)", "(lon_cd / 100.0)")
+        parts.append(f"""
+SELECT user_id, ts_us, '{p.region_id}' AS region_id,
+  CASE WHEN inr = 1 THEN 'enter' ELSE 'exit' END AS kind
+FROM (
+  SELECT user_id, ts_us, inr,
+    LAG(inr, 1, 0) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pin
+  FROM (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      CASE WHEN {pip} THEN 1 ELSE 0 END AS inr
+    FROM (SELECT user_id, event_id, ts,
+            {EVENT_LAT_CD} AS lat_cd, {EVENT_LON_CD} AS lon_cd FROM events)
+  )
+) WHERE inr <> pin""")
+    return " UNION ALL ".join(parts)
+
+
 BURST_LEVEL = 4
 BURST_WINDOW_US = 48 * 3600 * 1_000_000
 
@@ -3281,6 +3354,7 @@ QUERIES: dict[str, tuple] = {
     "tile_diff": (q_tile_diff, SQL_TILE_DIFF),
     "bbox_partitioned": (q_bbox_partitioned, SQL_BBOX_PARTITIONED),
     "cell_max_burst": (q_cell_max_burst, SQL_CELL_MAX_BURST),
+    "geofence_transitions": (q_geofence_transitions, _sql_geofence_transitions),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
