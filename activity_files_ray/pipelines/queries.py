@@ -1867,6 +1867,61 @@ ORDER BY tf DESC, token LIMIT {VOCAB_TOPK}
 """
 
 
+BIGRAM_TOPK = 40
+
+
+def q_bigram_topk(sf_dir: str):
+    """Sequence-aware collocation counts (the n-gram LM-data
+    primitive `vocab_topk` can't express): global top-``BIGRAM_TOPK``
+    adjacent token pairs. Per-batch partials collapse each batch to
+    one row per (w1, w2) — exact because a document is one row —
+    then ``bucketed_topk`` folds the top-k into each bucket merge
+    (driver sees ≤ k × n_buckets rows, never the bigram vocabulary,
+    which is vocab² shaped at corpus scale)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            pd.DataFrame(
+                {
+                    "doc": df["doc_id"],
+                    "w": df["text"].fillna("").str.findall(r"\S+"),
+                }
+            )
+            .explode("w")
+            .dropna(subset=["w"])
+        )
+        w = ex["w"].to_numpy(object)
+        doc = ex["doc"].to_numpy(np.int64)
+        same = doc[:-1] == doc[1:]  # adjacent rows of the same doc
+        bg = pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same], "n": 1})
+        return bg.groupby(["w1", "w2"], as_index=False).agg(n=("n", "sum"))
+
+    return agg.bucketed_topk(
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
+        ["w1", "w2"],
+        {"n": ("n", "sum")},
+        sort_by=["n", "w1", "w2"],
+        ascending=[False, True, True],
+        k=BIGRAM_TOPK,
+    )
+
+
+SQL_BIGRAM_TOPK = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS i
+  FROM documents
+), bg AS (
+  SELECT w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM tok
+)
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg WHERE w2 IS NOT NULL
+GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT {BIGRAM_TOPK}
+"""
+
+
 LANG_TOPK = 10
 
 
@@ -3364,6 +3419,7 @@ QUERIES: dict[str, tuple] = {
     "doc_dedup_exact": (q_doc_dedup_exact, SQL_DOC_DEDUP_EXACT),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "lang_top_tokens": (q_lang_top_tokens, SQL_LANG_TOP_TOKENS),
     "doc_fingerprint_groups": (q_doc_fingerprint_groups, SQL_DOC_FINGERPRINT),
     "lang_id_counts": (q_lang_id_counts, SQL_LANG_ID_COUNTS),
