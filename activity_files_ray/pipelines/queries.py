@@ -704,6 +704,71 @@ def q_zonal_stats(sf_dir: str):
     )
 
 
+QUANTILES = (0.5, 0.95, 0.99)
+
+
+def q_type_value_quantiles(sf_dir: str):
+    """Distributed QUANTILES via a fixed-resolution histogram: p50 /
+    p95 / p99 of ``value`` per event_type at 0.01 binning — the
+    two-pass percentile plan that works at any scale (a true exact
+    quantile needs a global sort; binning to centi-units makes the
+    state (type, bin) shaped and the answer EXACT at the declared
+    resolution, bit-replayable in SQL). Plan: per-batch partials →
+    ``bucketed_aggregate`` over (type, bin); per-type selection is a
+    cumsum over that type's occupied bins — group size bounded by
+    the value range × resolution, not by rows. Quantile definition
+    shared with the oracle: smallest bin with cum ≥ ceil(q·total)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "vb": np.floor(df["value"].to_numpy(np.float64) * 100.0).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    hist = agg.bucketed_aggregate(
+        ds.map_batches(prep, batch_format="pandas", batch_size=None),
+        ["event_type", "vb"],
+        {"n": ("", "count")},
+    )
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vb", kind="mergesort")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        tot = int(cum[-1])
+        vb = g["vb"].to_numpy(np.int64)
+        row = {"event_type": [g["event_type"].iloc[0]]}
+        for q in QUANTILES:
+            need = int(np.ceil(q * tot))
+            row[f"p{int(q * 100)}_cb"] = [np.int64(vb[np.searchsorted(cum, need)])]
+        return pd.DataFrame(row)
+
+    return hist.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+SQL_TYPE_VALUE_QUANTILES = f"""
+WITH b AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0) AS BIGINT) AS vb FROM events
+), c AS (
+  SELECT event_type, vb, COUNT(*) AS n FROM b GROUP BY event_type, vb
+), t AS (
+  SELECT event_type, vb,
+    SUM(n) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
+    SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM c
+)
+SELECT event_type,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN vb END) AS BIGINT) AS p50_cb,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.95 * tot) THEN vb END) AS BIGINT) AS p95_cb,
+  CAST(MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN vb END) AS BIGINT) AS p99_cb
+FROM t GROUP BY event_type
+"""
+
+
 def q_geofence_transitions(sf_dir: str):
     """GEOFENCE monitoring (trajectory × polygon, the streaming-geo
     classic): per user-track, the enter/exit TRANSITIONS against each
@@ -3410,6 +3475,7 @@ QUERIES: dict[str, tuple] = {
     "bbox_partitioned": (q_bbox_partitioned, SQL_BBOX_PARTITIONED),
     "cell_max_burst": (q_cell_max_burst, SQL_CELL_MAX_BURST),
     "geofence_transitions": (q_geofence_transitions, _sql_geofence_transitions),
+    "type_value_quantiles": (q_type_value_quantiles, SQL_TYPE_VALUE_QUANTILES),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
