@@ -704,6 +704,116 @@ def q_zonal_stats(sf_dir: str):
     )
 
 
+MORAN_LEVEL = 6
+
+
+def q_moran_i(sf_dir: str):
+    """Spatial AUTOCORRELATION (Moran's I over occupied cells, 8-
+    neighbor rook+bishop weights, lon wrap) — the hotspot-analysis
+    statistic, in an EXACT integer formulation: with N occupied
+    cells and S total points, the deviation of cell i is the integer
+    ``dev_i = N·n_i − S`` (= N²·(x_i − x̄)), so the numerator
+    Σ_{ij adjacent} dev_i·dev_j, denominator Σ dev_i², pair count W
+    and N are all exact int64 sums — the consumer computes
+    I = (N/W)·num/den in one division at the end, and the SQL oracle
+    replays every sum bit-for-bit (no float accumulation order to
+    disagree on). Plan: bucketed per-cell counts; two tiny scalar
+    folds (N, S); the neighbor-pair sum reuses the grid-DBSCAN
+    emission shape — 9 keyed rows per occupied cell, hash-bucketed
+    vectorized self-join, partial products summed per bucket; the
+    driver sees one row per bucket."""
+    from ..spatial.dbscan import _bucket_of
+
+    counts = agg.bucketed_aggregate(
+        _derived_points_ds(sf_dir, with_cd=False).map_batches(
+            stages.add_cell_columns,
+            batch_format="pyarrow",
+            fn_kwargs={"level": MORAN_LEVEL, "prefix_level": MORAN_LEVEL},
+            batch_size=None,
+        ).select_columns(["cell"]),
+        ["cell"],
+        {"n": ("", "count")},
+    ).materialize()
+    n_cells = counts.count()
+    total = int(counts.sum("n"))  # one scalar, computed in-cluster
+    n_buckets = agg.default_n_buckets()
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell"].to_numpy(np.int64)
+        dev = n_cells * df["n"].to_numpy(np.int64) - total
+        keys9 = cells.disk_cells(cid, MORAN_LEVEL, 1)
+        k = keys9.shape[1]
+        out = pd.DataFrame(
+            {
+                "key": keys9.ravel(),
+                "src": np.repeat(cid, k),
+                "dev": np.repeat(dev, k),
+            }
+        ).drop_duplicates(["key", "src"])
+        out["_bucket"] = _bucket_of(out["key"], n_buckets)
+        return out
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(np.int64)
+        src = g["src"].to_numpy(np.int64)
+        dev = g["dev"].to_numpy(np.int64)
+        selfm = key == src
+        kdev = pd.Series(dev[selfm], index=key[selfm])  # dev of occupied keys
+        occ = np.isin(key, key[selfm]) & ~selfm
+        kd = kdev.reindex(key[occ]).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "i_num": [np.int64((kd * dev[occ]).sum())],
+                "w_pairs": [np.int64(occ.sum())],
+                "i_den": [np.int64((dev[selfm] ** 2).sum())],
+            }
+        )
+
+    parts = (
+        counts.map_batches(emit, batch_format="pandas", batch_size=262144)
+        .groupby("_bucket")
+        .map_groups(bucket_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_cells": [np.int64(n_cells)],
+            "w_pairs": [np.int64(parts["w_pairs"].sum())],
+            "i_num": [np.int64(parts["i_num"].sum())],
+            "i_den": [np.int64(parts["i_den"].sum())],
+        }
+    )
+
+
+def _sql_moran_i() -> str:
+    m = 1 << 29
+    n = 1 << MORAN_LEVEL
+    cell = cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, MORAN_LEVEL)
+    return f"""
+WITH c AS (
+  SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY cell
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ncells, CAST(SUM(n) AS BIGINT) AS total FROM c
+), v AS (
+  SELECT cell, (SELECT ncells FROM s) * n - (SELECT total FROM s) AS dev FROM c
+), offs AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
+  WHERE NOT (dx.d = 0 AND dy.d = 0)
+), nbr AS (
+  SELECT a.dev AS da, b.dev AS db
+  FROM v a CROSS JOIN offs o
+  JOIN v b ON b.cell =
+    (((a.cell // {m}) + o.dx + {n}) % {n}) * {m} + ((a.cell % {m}) + o.dy)
+  WHERE (a.cell % {m}) + o.dy BETWEEN 0 AND {n - 1}
+)
+SELECT (SELECT ncells FROM s) AS n_cells,
+  CAST((SELECT COUNT(*) FROM nbr) AS BIGINT) AS w_pairs,
+  CAST((SELECT SUM(CAST(da AS HUGEINT) * db) FROM nbr) AS BIGINT) AS i_num,
+  CAST((SELECT SUM(CAST(dev AS HUGEINT) * dev) FROM v) AS BIGINT) AS i_den
+"""
+
+
 QUANTILES = (0.5, 0.95, 0.99)
 
 
@@ -3476,6 +3586,7 @@ QUERIES: dict[str, tuple] = {
     "cell_max_burst": (q_cell_max_burst, SQL_CELL_MAX_BURST),
     "geofence_transitions": (q_geofence_transitions, _sql_geofence_transitions),
     "type_value_quantiles": (q_type_value_quantiles, SQL_TYPE_VALUE_QUANTILES),
+    "moran_i": (q_moran_i, _sql_moran_i),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
