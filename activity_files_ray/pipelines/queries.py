@@ -814,6 +814,132 @@ SELECT (SELECT ncells FROM s) AS n_cells,
 """
 
 
+def q_cell_focal_sum(sf_dir: str):
+    """FOCAL statistics (raster neighborhood convolution, the 3×3
+    box-sum kernel): for every occupied cell, its own count plus the
+    counts of its 8 neighbors (lon wrap, lat clamp) — the smoothing /
+    hotspot primitive GIS calls focal sum. Plan: same keyed-emission
+    shape as grid-DBSCAN/Moran — each occupied cell sends its count
+    into its 9 covering keys, a hash-bucketed vectorized fold sums
+    each occupied key's inbox; output stays a Dataset (cell
+    cardinality tracks the corpus)."""
+    from ..spatial.dbscan import _bucket_of
+
+    counts = agg.bucketed_aggregate(
+        _derived_points_ds(sf_dir, with_cd=False).map_batches(
+            stages.add_cell_columns,
+            batch_format="pyarrow",
+            fn_kwargs={"level": MORAN_LEVEL, "prefix_level": MORAN_LEVEL},
+            batch_size=None,
+        ).select_columns(["cell"]),
+        ["cell"],
+        {"n": ("", "count")},
+    )
+    n_buckets = agg.default_n_buckets()
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["cell"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        keys9 = cells.disk_cells(cid, MORAN_LEVEL, 1)
+        k = keys9.shape[1]
+        out = pd.DataFrame(
+            {"key": keys9.ravel(), "src": np.repeat(cid, k), "n": np.repeat(n, k)}
+        ).drop_duplicates(["key", "src"])
+        out["_bucket"] = _bucket_of(out["key"], n_buckets)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(np.int64)
+        src = g["src"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        selfm = key == src
+        occ_keys = key[selfm]
+        inbox = pd.Series(n).groupby(key).sum()
+        return pd.DataFrame(
+            {
+                "cell": occ_keys,
+                "n": n[selfm],
+                "focal": inbox.reindex(occ_keys).to_numpy(np.int64),
+            }
+        )
+
+    return (
+        counts.map_batches(emit, batch_format="pandas", batch_size=262144)
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _sql_cell_focal_sum() -> str:
+    m = 1 << 29
+    n = 1 << MORAN_LEVEL
+    cell = cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, MORAN_LEVEL)
+    return f"""
+WITH c AS (
+  SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY cell
+), offs AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
+), inbox AS (
+  SELECT (((c.cell // {m}) + o.dx + {n}) % {n}) * {m} + ((c.cell % {m}) + o.dy) AS key,
+         c.n
+  FROM c CROSS JOIN offs o
+  WHERE (c.cell % {m}) + o.dy BETWEEN 0 AND {n - 1}
+)
+SELECT c.cell, c.n, CAST(SUM(inbox.n) AS BIGINT) AS focal
+FROM c JOIN inbox ON inbox.key = c.cell
+GROUP BY c.cell, c.n
+"""
+
+
+def q_radius_of_gyration(sf_dir: str):
+    """Per-user RADIUS OF GYRATION (the classic human-mobility
+    dispersion metric — González et al., Nature 2008, public): with
+    n points and centidegree sums (S_la, S_lo), emit the EXACT
+    integer moment ``M = Σ_i (n·la_i − S_la)² + (n·lo_i − S_lo)²``
+    (= n⁴ · rog²_cd when divided out by the consumer) — all-integer,
+    so the SQL replay is bit-exact with no float mean. One user_id
+    shuffle, vectorized per-group moment. int64 is safe to ~10⁵
+    points × 180° per track; longer tracks want the HUGEINT-style
+    two-level split the kNN rational distances use."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        la = df["lat_cd"].to_numpy(np.int64)
+        lo = df["lon_cd"].to_numpy(np.int64)
+        n = np.int64(len(la))
+        sla, slo = la.sum(), lo.sum()
+        m = ((n * la - sla) ** 2).sum() + ((n * lo - slo) ** 2).sum()
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(df["user_id"].iloc[0])],
+                "n_pts": [n],
+                "rog_m": [np.int64(m)],
+            }
+        )
+
+    return _user_points_ds(sf_dir).groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
+SQL_RADIUS_OF_GYRATION = f"""
+WITH p AS (
+  SELECT user_id, {EVENT_LAT_CD} AS la, {EVENT_LON_CD} AS lo FROM events
+), s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(la) AS BIGINT) AS sla, CAST(SUM(lo) AS BIGINT) AS slo
+  FROM p GROUP BY user_id
+)
+SELECT p.user_id, s.n AS n_pts,
+  CAST(SUM(
+    (CAST(s.n AS HUGEINT) * p.la - s.sla) * (CAST(s.n AS HUGEINT) * p.la - s.sla)
+    + (CAST(s.n AS HUGEINT) * p.lo - s.slo) * (CAST(s.n AS HUGEINT) * p.lo - s.slo)
+  ) AS BIGINT) AS rog_m
+FROM p JOIN s USING (user_id)
+GROUP BY p.user_id, s.n
+"""
+
+
 QUANTILES = (0.5, 0.95, 0.99)
 
 
@@ -3587,6 +3713,8 @@ QUERIES: dict[str, tuple] = {
     "geofence_transitions": (q_geofence_transitions, _sql_geofence_transitions),
     "type_value_quantiles": (q_type_value_quantiles, SQL_TYPE_VALUE_QUANTILES),
     "moran_i": (q_moran_i, _sql_moran_i),
+    "cell_focal_sum": (q_cell_focal_sum, _sql_cell_focal_sum),
+    "radius_of_gyration": (q_radius_of_gyration, SQL_RADIUS_OF_GYRATION),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),
