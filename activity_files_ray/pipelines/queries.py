@@ -814,6 +814,62 @@ SELECT (SELECT ncells FROM s) AS n_cells,
 """
 
 
+HLL_P = 12  # 4096 registers; std error ≈ 1.04/√4096 ≈ 1.6%
+
+
+def q_hll_registers(sf_dir: str):
+    """Mergeable CARDINALITY SKETCH (HyperLogLog registers, Flajolet
+    et al. — the task brief's 'novel sketch' family): the 2^HLL_P
+    register table for distinct ``event_id``, built as per-batch
+    register partials merged by MAX through the combiner tree (the
+    register space is a BOUNDED 4096-key dimension, so the
+    driver-merged tree is the right plan — and MAX-merge is exactly
+    what makes HLL mergeable across any partitioning). Hashes are
+    MD5-top-64 (the `_md5_64_many` trick that makes simhash
+    SQL-replayable): bucket = top 12 bits, rho = 53 −
+    bit_length(low 52 bits) — every register value is bit-exact in
+    DuckDB via ``length(printf('%b', w))``, so the oracle compares
+    REGISTERS, not a float estimate. `tests/test_pipelines.py`
+    checks the estimate the registers imply is within HLL's error
+    bound of the true distinct count."""
+    from .dedup import _md5_64_many
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    mask = np.uint64((1 << 52) - 1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_64_many([str(e) for e in df["event_id"]]).astype(np.uint64)
+        bucket = (h >> np.uint64(52)).astype(np.int64)
+        w = (h & mask).astype(np.int64)
+        # exact bit_length via frexp (w < 2^53 → float64 is exact)
+        _, ex = np.frexp(w.astype(np.float64))
+        rho = np.where(w == 0, np.int64(53), np.int64(53) - ex.astype(np.int64))
+        part = pd.DataFrame({"bucket": bucket, "r": rho})
+        return part.groupby("bucket", as_index=False).agg(r=("r", "max"))
+
+    return agg.tree_aggregate(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        ["bucket"],
+        {"r": ("r", "max")},
+    )
+
+
+SQL_HLL_REGISTERS = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT AS h64
+  FROM events
+), b AS (
+  SELECT CAST(h64 >> 52 AS BIGINT) AS bucket,
+         CAST(h64 & ((1::UBIGINT << 52) - 1) AS BIGINT) AS w
+  FROM h
+)
+SELECT bucket,
+  CAST(MAX(CASE WHEN w = 0 THEN 53
+                ELSE 53 - length(printf('%b', w)) END) AS BIGINT) AS r
+FROM b GROUP BY bucket
+"""
+
+
 def q_cell_focal_sum(sf_dir: str):
     """FOCAL statistics (raster neighborhood convolution, the 3×3
     box-sum kernel): for every occupied cell, its own count plus the
@@ -3715,6 +3771,7 @@ QUERIES: dict[str, tuple] = {
     "moran_i": (q_moran_i, _sql_moran_i),
     "cell_focal_sum": (q_cell_focal_sum, _sql_cell_focal_sum),
     "radius_of_gyration": (q_radius_of_gyration, SQL_RADIUS_OF_GYRATION),
+    "hll_registers": (q_hll_registers, SQL_HLL_REGISTERS),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),

@@ -628,3 +628,76 @@ class TestTriathlonEndToEnd:
                 splits[sport]["points"]["ts_us"].tolist()
                 == src["points"]["ts_us"].tolist()
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHllSketch:
+    """HLL registers: the estimate they imply lands inside the
+    sketch's error bound, and MAX-merge across partitionings is
+    order-insensitive (register equality, not estimate equality)."""
+
+    @staticmethod
+    def _estimate(reg: pd.DataFrame, p: int) -> float:
+        m = 1 << p
+        r = np.zeros(m, dtype=np.int64)
+        r[reg["bucket"].to_numpy(np.int64)] = reg["r"].to_numpy(np.int64)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(2.0 ** (-r.astype(np.float64)))
+        zeros = int((r == 0).sum())
+        if e <= 2.5 * m and zeros:  # small-range correction
+            e = m * np.log(m / zeros)
+        return float(e)
+
+    def test_estimate_within_error_bound(self):
+        from activity_files_ray.pipelines import queries as q
+
+        sf = "/root/testdata/sf0.01"
+        reg = q.q_hll_registers(sf)
+        reg = reg.to_pandas() if hasattr(reg, "to_pandas") else reg
+        import duckdb
+
+        truth = duckdb.connect().execute(
+            f"SELECT count(DISTINCT event_id) FROM '{sf}/events.parquet'"
+        ).fetchone()[0]
+        est = self._estimate(reg, q.HLL_P)
+        assert abs(est - truth) / truth < 0.05  # 3σ ≈ 4.9% at p=12
+
+    def test_registers_partition_invariant(self):
+        import ray.data as rd
+
+        from activity_files_ray.pipelines import agg
+        from activity_files_ray.pipelines import queries as q
+
+        sf = "/root/testdata/sf0.001"
+        a = q.q_hll_registers(sf)
+        a = (a.to_pandas() if hasattr(a, "to_pandas") else a).sort_values(
+            "bucket"
+        ).reset_index(drop=True)
+        # same sketch built from a differently-partitioned read
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf}/events.parquet", columns=["event_id"])
+        ds = rd.from_pandas(tbl.to_pandas()).repartition(7)
+        from activity_files_ray.pipelines.dedup import _md5_64_many
+
+        mask = np.uint64((1 << 52) - 1)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            h = _md5_64_many([str(e) for e in df["event_id"]]).astype(np.uint64)
+            bucket = (h >> np.uint64(52)).astype(np.int64)
+            w = (h & mask).astype(np.int64)
+            _, ex = np.frexp(w.astype(np.float64))
+            rho = np.where(w == 0, np.int64(53), np.int64(53) - ex.astype(np.int64))
+            return pd.DataFrame({"bucket": bucket, "r": rho}).groupby(
+                "bucket", as_index=False
+            ).agg(r=("r", "max"))
+
+        b = agg.tree_aggregate(
+            ds.map_batches(partial, batch_format="pandas", batch_size=None),
+            ["bucket"],
+            {"r": ("r", "max")},
+        )
+        b = (b.to_pandas() if hasattr(b, "to_pandas") else b).sort_values(
+            "bucket"
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
