@@ -870,6 +870,125 @@ FROM b GROUP BY bucket
 """
 
 
+def q_bearing_rose(sf_dir: str):
+    """Movement DIRECTION histogram (the bearing/wind rose): counts
+    of consecutive track steps per 45° octant — entirely in INTEGER
+    comparisons on the (Δlat_cd, Δlon_cd) step vector (sectors
+    bounded by the axes and diagonals with a strict/non-strict
+    alternation making the partition total and disjoint), so no
+    atan2 float for the SQL replay to disagree on. One user_id
+    shuffle; per-group vectorized diff + ``np.select``; the bounded
+    8-key aggregate folds through the combiner tree."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+        a = np.diff(df["lat_cd"].to_numpy(np.int64))
+        o = np.diff(df["lon_cd"].to_numpy(np.int64))
+        move = (a != 0) | (o != 0)
+        a, o = a[move], o[move]
+        octant = np.select(
+            [
+                (o > 0) & (a >= 0) & (a < o),
+                (a > 0) & (o > 0) & (o <= a),
+                (a > 0) & (o <= 0) & (-o < a),
+                (o < 0) & (a > 0) & (a <= -o),
+                (o < 0) & (a <= 0) & (-a < -o),
+                (a < 0) & (o < 0) & (-o <= -a),
+                (a < 0) & (o >= 0) & (o < -a),
+            ],
+            [0, 1, 2, 3, 4, 5, 6],
+            default=7,
+        ).astype(np.int64)
+        part = pd.DataFrame({"octant": octant})
+        part["n"] = 1
+        return part.groupby("octant", as_index=False).agg(n=("n", "sum"))
+
+    steps = _user_points_ds(sf_dir).groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+    return agg.tree_aggregate(steps, ["octant"], {"n": ("n", "sum")})
+
+
+_OCT_CASE = """CASE
+  WHEN o > 0 AND a >= 0 AND a < o THEN 0
+  WHEN a > 0 AND o > 0 AND o <= a THEN 1
+  WHEN a > 0 AND o <= 0 AND -o < a THEN 2
+  WHEN o < 0 AND a > 0 AND a <= -o THEN 3
+  WHEN o < 0 AND a <= 0 AND -a < -o THEN 4
+  WHEN a < 0 AND o < 0 AND -o <= -a THEN 5
+  WHEN a < 0 AND o >= 0 AND o < -a THEN 6
+  ELSE 7 END"""
+
+SQL_BEARING_ROSE = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    {EVENT_LAT_CD} AS la, {EVENT_LON_CD} AS lo
+  FROM events
+), st AS (
+  SELECT la - LAG(la) OVER w AS a, lo - LAG(lo) OVER w AS o
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT CAST({_OCT_CASE} AS BIGINT) AS octant, CAST(COUNT(*) AS BIGINT) AS n
+FROM st WHERE a IS NOT NULL AND NOT (a = 0 AND o = 0)
+GROUP BY octant
+"""
+
+
+CMS_D, CMS_W = 4, 2048  # 4 rows × 2048 counters; ε ≈ 2.7/2048
+
+
+def q_cms_counters(sf_dir: str):
+    """Mergeable FREQUENCY SKETCH (Count-Min, Cormode &
+    Muthukrishnan — the point-frequency sibling of the HLL
+    cardinality sketch): a ``CMS_D × CMS_W`` counter matrix over
+    ``user_id`` occurrences. Counters are SUM-mergeable, so
+    per-batch partials fold through the combiner tree over the
+    BOUNDED (row, slot) dimension; a point query reads
+    min_d(counter[d][h_d(x)]) ≥ true count. Row hashes are
+    MD5-top-64 of ``'<d>:<user_id>'`` (seed folded into the hashed
+    string — no hash-family arithmetic for SQL to disagree on), so
+    the oracle replays every counter exactly. Estimate-vs-true
+    bounds pinned in `TestCmsSketch`."""
+    from .dedup import _md5_64_many
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].astype(str)
+        frames = []
+        for d in range(CMS_D):
+            h = _md5_64_many([f"{d}:{u}" for u in uid]).astype(np.uint64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "row": np.int64(d),
+                        "slot": (h % np.uint64(CMS_W)).astype(np.int64),
+                    }
+                )
+            )
+        part = pd.concat(frames, ignore_index=True)
+        part["n"] = 1
+        return part.groupby(["row", "slot"], as_index=False).agg(n=("n", "sum"))
+
+    return agg.tree_aggregate(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        ["row", "slot"],
+        {"n": ("n", "sum")},
+    )
+
+
+SQL_CMS_COUNTERS = f"""
+WITH rows_ AS (SELECT unnest(range({CMS_D})) AS row_), h AS (
+  SELECT row_ AS row,
+    CAST(('0x' || substr(md5(CAST(row_ AS VARCHAR) || ':' ||
+      CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT % {CMS_W} AS BIGINT) AS slot
+  FROM events CROSS JOIN rows_
+)
+SELECT row, slot, CAST(COUNT(*) AS BIGINT) AS n
+FROM h GROUP BY row, slot
+"""
+
+
 def q_cell_focal_sum(sf_dir: str):
     """FOCAL statistics (raster neighborhood convolution, the 3×3
     box-sum kernel): for every occupied cell, its own count plus the
@@ -3772,6 +3891,8 @@ QUERIES: dict[str, tuple] = {
     "cell_focal_sum": (q_cell_focal_sum, _sql_cell_focal_sum),
     "radius_of_gyration": (q_radius_of_gyration, SQL_RADIUS_OF_GYRATION),
     "hll_registers": (q_hll_registers, SQL_HLL_REGISTERS),
+    "cms_counters": (q_cms_counters, SQL_CMS_COUNTERS),
+    "bearing_rose": (q_bearing_rose, SQL_BEARING_ROSE),
     "cell_cap_sample": (q_cell_cap_sample, SQL_CELL_CAP_SAMPLE),
     "hot_cells": (q_hot_cells, SQL_HOT_CELLS),
     "pip_regions": (q_pip_regions, SQL_PIP_REGIONS),

@@ -701,3 +701,35 @@ class TestHllSketch:
             "bucket"
         ).reset_index(drop=True)
         pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCmsSketch:
+    """Count-Min: the point estimate upper-bounds the true count and
+    is within the epsilon*N additive guarantee for every user."""
+
+    def test_point_estimates_bound_true_counts(self):
+        import duckdb
+
+        from activity_files_ray.pipelines import queries as q
+        from activity_files_ray.pipelines.dedup import _md5_64_many
+
+        sf = "/root/testdata/sf0.01"
+        cms = q.q_cms_counters(sf)
+        cms = cms.to_pandas() if hasattr(cms, "to_pandas") else cms
+        mat = np.zeros((q.CMS_D, q.CMS_W), dtype=np.int64)
+        mat[cms["row"].to_numpy(np.int64), cms["slot"].to_numpy(np.int64)] = (
+            cms["n"].to_numpy(np.int64)
+        )
+        truth = duckdb.connect().execute(
+            f"SELECT user_id, count(*) FROM '{sf}/events.parquet' GROUP BY 1"
+        ).df()
+        total = int(truth["count_star()"].sum())
+        eps_bound = np.e / q.CMS_W * total  # per-row bound, d rows tighten it
+        for uid, true_n in zip(truth["user_id"], truth["count_star()"]):
+            est = min(
+                mat[d, int(_md5_64_many([f"{d}:{uid}"])[0] % np.uint64(q.CMS_W))]
+                for d in range(q.CMS_D)
+            )
+            assert est >= true_n  # CMS never undercounts
+            assert est - true_n <= eps_bound
