@@ -707,6 +707,40 @@ def q_zonal_stats(sf_dir: str):
 MORAN_LEVEL = 6
 
 
+def _moran_bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket Moran partial: sums of dev_i·dev_j over in-bucket
+    adjacent pairs, dev² over in-bucket occupied cells. EXACT at any
+    magnitude: vectorized int64 when max|dev| < 2³¹ proves the
+    products safe, else Python-bigint accumulation (bucket rows are
+    bounded by occupied cells × 9 — tiny regardless of corpus size);
+    i_num/i_den ship as decimal strings so partials can exceed
+    int64. Module-level so the overflow path is unit-testable."""
+    key = g["key"].to_numpy(np.int64)
+    src = g["src"].to_numpy(np.int64)
+    dev = g["dev"].to_numpy(np.int64)
+    selfm = key == src
+    kdev = pd.Series(dev[selfm], index=key[selfm])  # dev of occupied keys
+    occ = np.isin(key, key[selfm]) & ~selfm
+    kd = kdev.reindex(key[occ]).to_numpy(np.int64)
+    dev_self = dev[selfm]
+    max_abs = int(np.abs(dev).max()) if len(dev) else 0
+    if max_abs < 2**31:  # products provably fit int64 — vectorized
+        i_num = int((kd * dev[occ]).sum())
+        i_den = int((dev_self.astype(np.int64) ** 2).sum())
+    else:  # exact bigint path; ≤ 4096 occupied cells → O(36k) products
+        i_num = int(
+            (kd.astype(object) * dev[occ].astype(object)).sum()
+        ) if occ.any() else 0
+        i_den = int((dev_self.astype(object) ** 2).sum()) if len(dev_self) else 0
+    return pd.DataFrame(
+        {
+            "i_num": [str(i_num)],
+            "w_pairs": [np.int64(occ.sum())],
+            "i_den": [str(i_den)],
+        }
+    )
+
+
 def q_moran_i(sf_dir: str):
     """Spatial AUTOCORRELATION (Moran's I over occupied cells, 8-
     neighbor rook+bishop weights, lon wrap) — the hotspot-analysis
@@ -714,14 +748,22 @@ def q_moran_i(sf_dir: str):
     cells and S total points, the deviation of cell i is the integer
     ``dev_i = N·n_i − S`` (= N²·(x_i − x̄)), so the numerator
     Σ_{ij adjacent} dev_i·dev_j, denominator Σ dev_i², pair count W
-    and N are all exact int64 sums — the consumer computes
+    and N are all exact integer sums — the consumer computes
     I = (N/W)·num/den in one division at the end, and the SQL oracle
     replays every sum bit-for-bit (no float accumulation order to
-    disagree on). Plan: bucketed per-cell counts; two tiny scalar
-    folds (N, S); the neighbor-pair sum reuses the grid-DBSCAN
-    emission shape — 9 keyed rows per occupied cell, hash-bucketed
-    vectorized self-join, partial products summed per bucket; the
-    driver sees one row per bucket."""
+    disagree on). Overflow: dev_i itself is guarded into int64
+    (N·n_i ≤ 2⁶² — loud raise beyond ~10¹⁸ points per cell), while
+    the dev²/dev_i·dev_j products accumulate EXACTLY — vectorized
+    int64 when max|dev| < 2³¹ proves safety, else Python bigints
+    (the occupied-cell count is bounded by 4^MORAN_LEVEL = 4096 at
+    level 6, so the object path is O(36k) products regardless of
+    corpus size); partials ship as decimal strings and the driver
+    folds in bigints, raising loudly only if the FINAL value exceeds
+    the oracle's own BIGINT cast. Plan: bucketed per-cell counts;
+    two tiny scalar folds (N, S); the neighbor-pair sum reuses the
+    grid-DBSCAN emission shape — 9 keyed rows per occupied cell,
+    hash-bucketed vectorized self-join, partial products summed per
+    bucket; the driver sees one row per bucket."""
     from ..spatial.dbscan import _bucket_of
 
     counts = agg.bucketed_aggregate(
@@ -740,7 +782,13 @@ def q_moran_i(sf_dir: str):
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         cid = df["cell"].to_numpy(np.int64)
-        dev = n_cells * df["n"].to_numpy(np.int64) - total
+        n_arr = df["n"].to_numpy(np.int64)
+        if len(n_arr) and int(n_arr.max()) > (2**62) // max(n_cells, 1):
+            raise OverflowError(
+                "moran_i: per-cell count too large for an int64 deviation "
+                f"(N={n_cells}, max n_i={int(n_arr.max())})"
+            )
+        dev = n_cells * n_arr - total
         keys9 = cells.disk_cells(cid, MORAN_LEVEL, 1)
         k = keys9.shape[1]
         out = pd.DataFrame(
@@ -753,34 +801,26 @@ def q_moran_i(sf_dir: str):
         out["_bucket"] = _bucket_of(out["key"], n_buckets)
         return out
 
-    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["key"].to_numpy(np.int64)
-        src = g["src"].to_numpy(np.int64)
-        dev = g["dev"].to_numpy(np.int64)
-        selfm = key == src
-        kdev = pd.Series(dev[selfm], index=key[selfm])  # dev of occupied keys
-        occ = np.isin(key, key[selfm]) & ~selfm
-        kd = kdev.reindex(key[occ]).to_numpy(np.int64)
-        return pd.DataFrame(
-            {
-                "i_num": [np.int64((kd * dev[occ]).sum())],
-                "w_pairs": [np.int64(occ.sum())],
-                "i_den": [np.int64((dev[selfm] ** 2).sum())],
-            }
-        )
-
     parts = (
         counts.map_batches(emit, batch_format="pandas", batch_size=262144)
         .groupby("_bucket")
-        .map_groups(bucket_partial, batch_format="pandas")
+        .map_groups(_moran_bucket_partial, batch_format="pandas")
         .to_pandas()
     )
+    i_num = sum(int(s) for s in parts["i_num"])
+    i_den = sum(int(s) for s in parts["i_den"])
+    for name, v in (("i_num", i_num), ("i_den", i_den)):
+        if not (-(2**63) <= v < 2**63):
+            raise OverflowError(
+                f"moran_i: exact {name}={v} exceeds int64 — the oracle's "
+                "BIGINT cast fails on the same input; widen the schema"
+            )
     return pd.DataFrame(
         {
             "n_cells": [np.int64(n_cells)],
             "w_pairs": [np.int64(parts["w_pairs"].sum())],
-            "i_num": [np.int64(parts["i_num"].sum())],
-            "i_den": [np.int64(parts["i_den"].sum())],
+            "i_num": [np.int64(i_num)],
+            "i_den": [np.int64(i_den)],
         }
     )
 
@@ -1074,26 +1114,48 @@ def q_radius_of_gyration(sf_dir: str):
     integer moment ``M = Σ_i (n·la_i − S_la)² + (n·lo_i − S_lo)²``
     (= n⁴ · rog²_cd when divided out by the consumer) — all-integer,
     so the SQL replay is bit-exact with no float mean. One user_id
-    shuffle, vectorized per-group moment. int64 is safe to ~10⁵
-    points × 180° per track; longer tracks want the HUGEINT-style
-    two-level split the kNN rational distances use."""
-
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        la = df["lat_cd"].to_numpy(np.int64)
-        lo = df["lon_cd"].to_numpy(np.int64)
-        n = np.int64(len(la))
-        sla, slo = la.sum(), lo.sum()
-        m = ((n * la - sla) ** 2).sum() + ((n * lo - slo) ** 2).sum()
-        return pd.DataFrame(
-            {
-                "user_id": [np.int64(df["user_id"].iloc[0])],
-                "n_pts": [n],
-                "rog_m": [np.int64(m)],
-            }
-        )
-
+    shuffle, vectorized per-group moment. Overflow-safe via the
+    identity Σ(n·x−S)² = n²·Σx² − n·S²: the per-group sums Σx and
+    Σx² stay inside int64 to ~2.8×10¹⁰ points per user (|x| ≤ 18000
+    cd), and the O(1) finale runs in exact Python bigints — matching
+    the oracle's HUGEINT arithmetic at any track length. If the
+    final moment itself exceeds int64 we raise loudly (the oracle's
+    BIGINT cast fails on the same inputs)."""
     return _user_points_ds(sf_dir).groupby("user_id").map_groups(
-        per_user, batch_format="pandas"
+        _rog_per_user, batch_format="pandas"
+    )
+
+
+def _rog_per_user(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact per-user gyration moment via Σ(n·x−S)² = n²Σx² − nS²:
+    int64-safe vectorized sums, Python-bigint O(1) finale, loud
+    raise only when the FINAL moment exceeds int64 (where the
+    oracle's BIGINT cast fails too). Module-level for unit tests."""
+    la = df["lat_cd"].to_numpy(np.int64)
+    lo = df["lon_cd"].to_numpy(np.int64)
+    n = len(la)
+    if n > 28_000_000_000:  # Σx² (x ≤ 18000 cd) would exceed int64
+        raise OverflowError(
+            f"radius_of_gyration: group of {n} points exceeds the "
+            "int64-safe per-group sum bound (2.8e10)"
+        )
+    # int64-safe sums (vectorized), exact bigint finale (O(1)).
+    sla, slo = int(la.sum()), int(lo.sum())
+    sla2 = int((la * la).sum())
+    slo2 = int((lo * lo).sum())
+    m = n * (n * sla2 - sla * sla) + n * (n * slo2 - slo * slo)
+    if not (-(2**63) <= m < 2**63):
+        raise OverflowError(
+            f"radius_of_gyration: exact moment {m} for user "
+            f"{df['user_id'].iloc[0]} does not fit int64; widen the "
+            "output schema (hi/lo split) for tracks this long"
+        )
+    return pd.DataFrame(
+        {
+            "user_id": [np.int64(df["user_id"].iloc[0])],
+            "n_pts": [np.int64(n)],
+            "rog_m": [np.int64(m)],
+        }
     )
 
 
@@ -1322,22 +1384,28 @@ def q_bbox_partitioned(sf_dir: str):
     IO prune, not just compute prune — with the exact integer
     predicate applied in-stream. Read-pruned == full-scan equality
     and a partitions-read < partitions-total pin live in
-    tests/test_layout.py."""
-    import os
+    tests/test_layout.py. The layout lives in a per-invocation
+    ``tempfile.mkdtemp`` dir (cleaned on success) so concurrent runs
+    over the same sf dir can never race on a shared path."""
     import shutil
+    import tempfile
 
     from ..spatial import layout
 
     pts = _user_points_ds(sf_dir)
-    out = f"/tmp/afr_geo_{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(out, ignore_errors=True)
+    out = tempfile.mkdtemp(prefix="afr_geo_")
     layout.spatial_write(pts, out, BBOX_PREFIX_LEVEL)
-    ds, _hit, _tot = layout.spatial_read_bbox(
-        out, BBOX_LAT_CD, BBOX_LON_CD, BBOX_PREFIX_LEVEL
-    )
-    if ds is None:
-        return pd.DataFrame({"event_id": pd.Series([], dtype="int64")})
-    return ds.select_columns(["event_id"])
+    try:
+        ds, _hit, _tot = layout.spatial_read_bbox(
+            out, BBOX_LAT_CD, BBOX_LON_CD, BBOX_PREFIX_LEVEL, columns=["event_id"]
+        )
+        if ds is None:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64")})
+        # bbox hits are a small fraction of the corpus; pin them so the
+        # unique temp layout can be reclaimed immediately
+        return ds.to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 SQL_BBOX_PARTITIONED = f"""

@@ -30,10 +30,33 @@ def spatial_write(
     prefix_level: int,
     lat_cd_col: str = "lat_cd",
     lon_cd_col: str = "lon_cd",
+    overwrite: bool = False,
 ) -> list[int]:
     """One streaming pass: tag each point with its prefix cell and
     write hive-partitioned parquet (``pcell=<id>/``). Returns the
-    non-empty partition cells."""
+    non-empty partition cells.
+
+    ``out_dir`` holding previous ``pcell=*`` partitions is an ERROR
+    unless ``overwrite=True`` (which removes the old partition dirs
+    first) — silently merging two corpora would poison later
+    ``spatial_read_bbox`` results. Resume semantics stay explicit:
+    a resuming caller passes the same dir with ``overwrite=False``
+    only after removing the incomplete partitions itself."""
+    stale = (
+        [d for d in os.listdir(out_dir) if d.startswith("pcell=")]
+        if os.path.isdir(out_dir)
+        else []
+    )
+    if stale:
+        if not overwrite:
+            raise FileExistsError(
+                f"spatial_write: {out_dir} already holds {len(stale)} "
+                "pcell=* partitions; pass overwrite=True to replace them"
+            )
+        import shutil
+
+        for d in stale:
+            shutil.rmtree(os.path.join(out_dir, d))
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         la = df[lat_cd_col].to_numpy(np.int64)
@@ -59,12 +82,16 @@ def spatial_read_bbox(
     prefix_level: int,
     lat_cd_col: str = "lat_cd",
     lon_cd_col: str = "lon_cd",
+    columns: list[str] | None = None,
 ):
     """Read ONLY the partitions whose prefix cell intersects the
     (inclusive, integer-centidegree) bbox, then apply the exact
-    predicate inside ``map_batches``. Returns (dataset,
-    n_partitions_read, n_partitions_total) so callers/tests can pin
-    that pruning actually happened."""
+    predicate inside ``map_batches``. ``columns`` prunes the read
+    projection too (the lat/lon predicate columns are added
+    automatically) — essential when the partitioned rows are fat
+    (image bytes). Returns (dataset, n_partitions_read,
+    n_partitions_total) so callers/tests can pin that pruning
+    actually happened."""
     import ray.data as rd
 
     la0, la1 = lat_cd_range
@@ -90,9 +117,13 @@ def spatial_read_bbox(
     def exact(df: pd.DataFrame) -> pd.DataFrame:
         la = df[lat_cd_col].to_numpy(np.int64)
         lo = df[lon_cd_col].to_numpy(np.int64)
-        return df[(la >= la0) & (la <= la1) & (lo >= lo0) & (lo <= lo1)]
+        out = df[(la >= la0) & (la <= la1) & (lo >= lo0) & (lo <= lo1)]
+        return out[columns] if columns is not None else out
 
-    ds = rd.read_parquet(paths).map_batches(
+    read_cols = (
+        sorted({*columns, lat_cd_col, lon_cd_col}) if columns is not None else None
+    )
+    ds = rd.read_parquet(paths, columns=read_cols).map_batches(
         exact, batch_format="pandas", batch_size=None
     )
     return ds, len(hit), len(parts)

@@ -69,9 +69,23 @@ def proximity_pairs(
 ):
     """``pts_ds`` needs (user_id, ts_us, lat_cd, lon_cd) columns.
     Returns a Dataset of (ua, ub, n_hits): unordered user pairs with
-    >= 1 qualifying point pair, and how many such point pairs."""
+    >= 1 qualifying point pair, and how many such point pairs.
+
+    Radius limit: the one-neighbor-ring plan is complete only while a
+    single cell covers ``d_cd``, and the half-space dedup argument
+    needs a grid at least 4 cells wide (level >= 2, cell height 4500
+    cd) — so the automatic ``level=None`` selection supports
+    ``d_cd <= 4500`` (45° ≈ 5000 km; anything larger is not a
+    "proximity" radius). Larger radii raise loudly here; they would
+    need symmetric 27-offset emission plus pair dedup."""
     if level is None:
         level = min_complete_level(d_cd)
+        if level < 2:
+            raise ValueError(
+                f"proximity_pairs: d_cd={d_cd} exceeds the supported "
+                "automatic radius (d_cd <= 4500 cd, the level-2 cell "
+                "height); the 1-ring plan is incomplete above that"
+            )
     if (18000 >> level) < d_cd:
         raise ValueError(f"level {level} cells are thinner than d_cd={d_cd}")
     if level < 2:

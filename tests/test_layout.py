@@ -70,3 +70,41 @@ class TestSpatialLayout:
         layout.spatial_write(rd.from_pandas(pdf), out, prefix_level=3)
         ds, hit, tot = layout.spatial_read_bbox(out, (-7000, -6500), (0, 100), 3)
         assert ds is None and hit == 0 and tot > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpatialWriteGuards:
+    """r5: stale-partition guard + overwrite flag + projection prune."""
+
+    def test_refuses_stale_partitions_then_overwrites(self, tmp_path):
+        import ray.data as rd
+
+        pdf = _pts(500)
+        out = str(tmp_path / "geo")
+        layout.spatial_write(rd.from_pandas(pdf), out, prefix_level=3)
+        with pytest.raises(FileExistsError, match="pcell"):
+            layout.spatial_write(rd.from_pandas(pdf.head(10)), out, prefix_level=3)
+        # overwrite replaces, never merges: read must see ONLY the new rows
+        layout.spatial_write(
+            rd.from_pandas(pdf.head(10)), out, prefix_level=3, overwrite=True
+        )
+        ds, _, _ = layout.spatial_read_bbox(out, (-9000, 9000), (-18000, 18000), 3)
+        assert ds.count() == 10
+
+    def test_columns_pruning_projects_and_filters(self, tmp_path):
+        import ray.data as rd
+
+        pdf = _pts(800)
+        pdf["payload"] = "x" * 32  # fat column the projection must drop
+        out = str(tmp_path / "geo")
+        layout.spatial_write(rd.from_pandas(pdf), out, prefix_level=3)
+        bbox_la, bbox_lo = (0, 4000), (-9000, 0)
+        ds, hit, tot = layout.spatial_read_bbox(
+            out, bbox_la, bbox_lo, 3, columns=["event_id"]
+        )
+        got = ds.to_pandas()
+        assert list(got.columns) == ["event_id"]
+        m = pdf[
+            pdf.lat_cd.between(*bbox_la) & pdf.lon_cd.between(*bbox_lo)
+        ]
+        assert sorted(got["event_id"]) == sorted(m["event_id"])

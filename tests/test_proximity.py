@@ -126,3 +126,18 @@ class TestProximityPairs:
         )
         with pytest.raises(ValueError):
             proximity.proximity_pairs(df, 9000, 10)  # level would be < 2
+
+    def test_large_radius_message_names_limit_and_4500_works(self):
+        import ray.data as rd
+
+        df = rd.from_pandas(
+            pd.DataFrame(
+                {"user_id": [1, 2], "ts_us": [0, 0], "lat_cd": [0, 10], "lon_cd": [0, 10]}
+            )
+        )
+        with pytest.raises(ValueError, match="4500"):
+            proximity.proximity_pairs(df, 4501, 10)
+        # the documented boundary radius is supported (level 2)
+        assert proximity.min_complete_level(4500) == 2
+        got = proximity.proximity_pairs(df, 4500, 10, n_buckets=4).to_pandas()
+        assert len(got) == 1 and int(got["n_hits"].iloc[0]) == 1
