@@ -2559,6 +2559,82 @@ GROUP BY array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 5), ' ')
 """
 
 
+SUBSTR_W = 8  # window length (tokens) for exact substring dedup
+
+
+def q_substring_dupes(sf_dir: str):
+    """Corpus-scale EXACT substring/paragraph dedup (r4 verdict item
+    1): every 8-token window whose exact string occurs in >= 2
+    distinct documents, as (doc_id, pos, n_docs) occurrences. Plan:
+    windowed md5 fingerprints → bucketed distinct-doc counts (HAVING
+    inside the bucket merge) → broadcast candidate set → extract pass
+    → in-group exact string verify (pipelines/substring.py). The
+    oracle IS the definition: substring extraction + self-join over
+    the same '\\S+' tokens."""
+    from . import substring
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring.substring_dupes(ds, w=SUBSTR_W)
+
+
+def q_substring_spans(sf_dir: str):
+    """Maximal per-doc duplicated SPANS: the q_substring_dupes
+    occurrences merged into gaps-and-islands intervals
+    [start_tok, end_tok) — the rows a dedup job actually cuts.
+    Oracled with the SQL window-function island idiom over the same
+    extraction self-join."""
+    from . import substring
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    occ = substring.substring_dupes(ds, w=SUBSTR_W)
+    return substring.merge_spans(occ, w=SUBSTR_W)
+
+
+_SQL_SUBSTR_BASE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+), w AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {SUBSTR_W} - 1), ' ') AS win
+  FROM toks, UNNEST(generate_series(1, len(t) - {SUBSTR_W} + 1)) AS u(i)
+)"""
+
+SQL_SUBSTRING_DUPES = (
+    _SQL_SUBSTR_BASE
+    + r"""
+, g AS (
+  SELECT win, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id, CAST(w.pos AS BIGINT) AS pos, g.n_docs
+FROM w JOIN g USING (win)
+"""
+)
+
+SQL_SUBSTRING_SPANS = (
+    _SQL_SUBSTR_BASE
+    + rf"""
+, g AS (
+  SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+), occ AS (
+  SELECT DISTINCT w.doc_id, w.pos FROM w JOIN g USING (win)
+), flg AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {SUBSTR_W}
+         THEN 0 ELSE 1 END AS brk
+  FROM occ
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flg
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + {SUBSTR_W} AS BIGINT) AS end_tok
+FROM isl GROUP BY doc_id, island
+"""
+)
+
+
 def q_lang_id_counts(sf_dir: str):
     """Language-ID heuristic (stopword voting), oracled: the vote is
     materialized in SQL as per-language stopword-hit counts + the same
@@ -3977,6 +4053,8 @@ QUERIES: dict[str, tuple] = {
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "lang_top_tokens": (q_lang_top_tokens, SQL_LANG_TOP_TOKENS),
     "doc_fingerprint_groups": (q_doc_fingerprint_groups, SQL_DOC_FINGERPRINT),
+    "substring_dupes": (q_substring_dupes, SQL_SUBSTRING_DUPES),
+    "substring_spans": (q_substring_spans, SQL_SUBSTRING_SPANS),
     "lang_id_counts": (q_lang_id_counts, SQL_LANG_ID_COUNTS),
     "fit_extra_roundtrip": (q_fit_extra_roundtrip, SQL_FIT_EXTRA_ROUNDTRIP),
     "embed_axis_topk": (q_embed_axis_topk, SQL_EMBED_AXIS_TOPK),
