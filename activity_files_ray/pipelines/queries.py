@@ -2559,6 +2559,47 @@ GROUP BY array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 5), ' ')
 """
 
 
+def q_global_sorted_export(sf_dir: str):
+    """GLOBAL TOTAL-ORDER sorted export (r4 verdict item 2, SURVEY
+    §7.3): the events corpus exported in (ts_us, event_id) order as a
+    range-partitioned parquet layout + ordered manifest
+    (pipelines/sorted_export.py — sample-based boundaries, partition-
+    local sorts, footers-only manifest), then read back through the
+    manifest with an explicit dense global ``rank``. The oracle is
+    the definition of a global ORDER BY: ROW_NUMBER() over the same
+    key — every rank must match exactly, which proves partition
+    ranges are disjoint, ordered, and complete."""
+    import shutil
+    import tempfile
+
+    from . import sorted_export as se
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        derive, batch_format="pyarrow", batch_size=None
+    )
+    out = tempfile.mkdtemp(prefix="afr_sorted_")
+    try:
+        se.sorted_export(ds, out, key="ts_us", tiebreak=("event_id",), n_parts=16)
+        return se.sorted_read_ranked(out, columns=["event_id"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_GLOBAL_SORTED_EXPORT = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS rank,
+       event_id
+FROM events
+"""
+
+
 SUBSTR_W = 8  # window length (tokens) for exact substring dedup
 
 
@@ -4055,6 +4096,7 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint_groups": (q_doc_fingerprint_groups, SQL_DOC_FINGERPRINT),
     "substring_dupes": (q_substring_dupes, SQL_SUBSTRING_DUPES),
     "substring_spans": (q_substring_spans, SQL_SUBSTRING_SPANS),
+    "global_sorted_export": (q_global_sorted_export, SQL_GLOBAL_SORTED_EXPORT),
     "lang_id_counts": (q_lang_id_counts, SQL_LANG_ID_COUNTS),
     "fit_extra_roundtrip": (q_fit_extra_roundtrip, SQL_FIT_EXTRA_ROUNDTRIP),
     "embed_axis_topk": (q_embed_axis_topk, SQL_EMBED_AXIS_TOPK),

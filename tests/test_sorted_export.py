@@ -1,0 +1,80 @@
+"""Global sorted export (r5): partition ranges are disjoint and
+ordered, the manifest covers every row, equal keys never straddle a
+boundary, ranks are a dense permutation, and the layout is
+boundary-sample independent of input block order. The registered
+query's ROW_NUMBER oracle runs in test_queries_oracle."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from activity_files_ray.pipelines import sorted_export as se
+
+
+def _df(n=5000, seed=3, dup_every=7):
+    rng = np.random.RandomState(seed)
+    key = rng.randint(0, 1_000_000, n).astype(np.int64)
+    key[::dup_every] = key[0]  # heavy duplicate key crossing batches
+    return pd.DataFrame({"k": key, "i": np.arange(n, dtype=np.int64)})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSortedExport:
+    def test_disjoint_ordered_complete_and_ranked(self, tmp_path):
+        import ray.data as rd
+
+        pdf = _df()
+        out = str(tmp_path / "exp")
+        entries = se.sorted_export(
+            rd.from_pandas(pdf), out, key="k", tiebreak=("i",), n_parts=8
+        )
+        # manifest: ordered, disjoint [min,max] ranges, full coverage
+        assert [e["part"] for e in entries] == sorted(e["part"] for e in entries)
+        assert sum(e["n_rows"] for e in entries) == len(pdf)
+        for a, b in zip(entries, entries[1:]):
+            assert a["key_max"] <= b["key_min"]  # disjoint-or-touching never
+        for a, b in zip(entries, entries[1:]):
+            if a["key_max"] == b["key_min"]:
+                raise AssertionError("equal keys straddle a partition boundary")
+        # ranked read-back == pandas global sort
+        got = se.sorted_read_ranked(out).to_pandas().sort_values("rank")
+        exp = pdf.sort_values(["k", "i"], kind="mergesort").reset_index(drop=True)
+        assert got["rank"].tolist() == list(range(len(pdf)))
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["i"].tolist() == exp["i"].tolist()
+
+    def test_manifest_matches_footers(self, tmp_path):
+        import ray.data as rd
+
+        pdf = _df(800)
+        out = str(tmp_path / "exp")
+        entries = se.sorted_export(rd.from_pandas(pdf), out, key="k", n_parts=4)
+        with open(os.path.join(out, "manifest.json")) as fh:
+            man = json.load(fh)
+        assert man["key"] == "k"
+        assert man["parts"] == entries
+        # per-partition key ranges really bound the data
+        for e in entries:
+            d = os.path.join(out, f"part={e['part']}")
+            vals = pd.concat(
+                [
+                    pd.read_parquet(os.path.join(d, f), columns=["k"])
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                ]
+            )["k"]
+            assert int(vals.min()) == e["key_min"]
+            assert int(vals.max()) == e["key_max"]
+
+    def test_boundaries_layout_independent(self):
+        import ray.data as rd
+
+        pdf = _df(2000)
+        shuffled = pdf.sample(frac=1.0, random_state=9).reset_index(drop=True)
+        a = se.plan_boundaries(rd.from_pandas(pdf), "k", 8, sample_n=512)
+        b = se.plan_boundaries(rd.from_pandas(shuffled), "k", 8, sample_n=512)
+        np.testing.assert_array_equal(a, b)
+        assert (np.diff(a) > 0).all()  # strictly ascending
