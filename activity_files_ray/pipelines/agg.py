@@ -24,9 +24,11 @@ shuffle is unavoidable.
 from __future__ import annotations
 
 import os
+from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _MERGE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 
@@ -89,18 +91,32 @@ def bucketed_aggregate(
         n_buckets = default_n_buckets()
     spec = dict(aggs)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        named = {}
-        for out, (src, fn) in spec.items():
-            if fn == "count":
-                df = df.assign(**{out: 1})
-                named[out] = pd.NamedAgg(column=out, aggfunc="sum")
-            else:
-                named[out] = pd.NamedAgg(column=src, aggfunc=fn)
-        part = df.groupby(keys, as_index=False, observed=True).agg(**named)
-        h = pd.util.hash_pandas_object(part[keys], index=False).to_numpy(np.uint64)
-        part["_bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return part
+    # Arrow-native partial (r4 verdict item 4): the per-batch collapse
+    # is the single hottest pass in the engine (every corpus row
+    # transits it), so it runs on zero-copy pyarrow batches with the
+    # multithreaded C++ hash-groupby — no per-batch DataFrame build.
+    # Only the COLLAPSED key rows (distinct keys per batch) touch
+    # pandas, for the row-hash that picks the merge bucket.
+    arrow_aggs: list[tuple] = []
+    renames: dict[str, list[str]] = {}
+    for out, (src, fn) in spec.items():
+        arrow_name = "count_all" if fn == "count" else f"{src}_{fn}"
+        if arrow_name not in renames:
+            arrow_aggs.append(([], "count_all") if fn == "count" else (src, fn))
+            renames[arrow_name] = []
+        renames[arrow_name].append(out)
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        part = t.group_by(keys).aggregate(arrow_aggs)
+        cols: dict[str, Any] = {k: part[k] for k in keys}
+        for arrow_name, outs in renames.items():
+            for out in outs:
+                cols[out] = part[arrow_name]
+        h = pd.util.hash_pandas_object(
+            part.select(keys).to_pandas(), index=False
+        ).to_numpy(np.uint64)
+        cols["_bucket"] = pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        return pa.table(cols)
 
     merge_named = {
         out: pd.NamedAgg(column=out, aggfunc=_MERGE_FN[fn])
@@ -116,7 +132,7 @@ def bucketed_aggregate(
         return having(out) if having is not None else out
 
     return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
     )
