@@ -159,6 +159,16 @@ def ivf_build(
     smallest ``sample_n`` — bounded by sample_n × blocks, each row
     just (hash, vector). Deterministic for any (corpus, seed) and
     independent of batch split / file order."""
+    sample = hash_rank_sample(ds, vec_col, sample_n, seed, id_col)
+    return kmeans_fit(sample, n_clusters, seed=seed)
+
+
+def hash_rank_sample(
+    ds, vec_col: str, sample_n: int, seed: int, id_col: str
+) -> np.ndarray:
+    """The seeded layout-independent row sample behind
+    :func:`ivf_build` / :func:`pq_build`, as a (sample_n × d)
+    matrix."""
     from .dedup import _md5_64_many
 
     def sample_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -174,8 +184,7 @@ def ivf_build(
     order = np.argsort(
         parts["_h"].to_numpy(np.int64).astype(np.uint64), kind="stable"
     )[:sample_n]
-    sample = _as_matrix(parts[vec_col].iloc[order])
-    return kmeans_fit(sample, n_clusters, seed=seed)
+    return _as_matrix(parts[vec_col].iloc[order])
 
 
 def ivf_write(
@@ -294,6 +303,215 @@ def ivf_topk(
     parts = ds.map_batches(batch_probe, batch_format="pandas", batch_size=None).to_pandas()
     return (
         parts.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (r4 verdict item 5): product quantization, Jégou et al. 2011
+# (public). At 100 TB raw f32 embeddings dominate storage — PQ stores
+# M uint8 codes per vector (d·4 bytes → M bytes, 32× at d=64, M=8),
+# the ADC probe scans ONLY the code column, and the exact re-rank
+# touches raw vectors for the shortlist alone.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit_l2(
+    sample: np.ndarray, n_clusters: int, n_iter: int = 15, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd k-means under plain L2 (the PQ subspace
+    metric — subvectors are NOT renormalized, unlike the spherical
+    :func:`kmeans_fit` used for the coarse quantizer)."""
+    x = np.asarray(sample, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
+    cent = x[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def pq_fit(
+    sample: np.ndarray, m: int = 8, ks: int = 16, seed: int = 42
+) -> np.ndarray:
+    """Train the PQ codebook on L2-NORMALIZED sample vectors: split d
+    into ``m`` contiguous subspaces, one ``ks``-centroid L2 k-means
+    each. Returns (m, ks, d//m). ``ks=256`` is the classic uint8
+    setting for real corpora; the fixture default 16 keeps ks well
+    under the sample size."""
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-30)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [
+            kmeans_fit_l2(x[:, j * dsub : (j + 1) * dsub], ks, seed=seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_build(
+    ds, m: int = 8, ks: int = 16, sample_n: int = 4096, seed: int = 42,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train the PQ codebook from the same seeded hash-rank corpus
+    sample :func:`ivf_build` uses — deterministic, layout-independent."""
+    return pq_fit(
+        hash_rank_sample(ds, vec_col, sample_n, seed, id_col), m=m, ks=ks, seed=seed
+    )
+
+
+def pq_encode(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """L2-normalize rows, then argmin-L2 code per subspace →
+    (n, m) uint8 codes."""
+    x = np.asarray(vecs, dtype=np.float64)
+    x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-30)
+    m, _ks, dsub = codebooks.shape
+    codes = np.empty((len(x), m), dtype=np.uint8)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_adc_scores(codes: np.ndarray, codebooks: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance INNER-PRODUCT scores: per-subspace lookup
+    tables q_j · codebook[j] (m × ks floats, built once per query),
+    summed left-to-right over subspaces — a fixed IEEE op sequence
+    per row, so scores are bit-stable under any batch split."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) + 1e-30)
+    m, _ks, dsub = codebooks.shape
+    tables = np.stack(
+        [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )  # (m, ks)
+    out = np.zeros(len(codes), dtype=np.float64)
+    for j in range(m):
+        out += tables[j][codes[:, j]]
+    return out
+
+
+def ivf_pq_write(
+    ds,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[int]:
+    """IVF-PQ layout: hive ``cluster=<c>/`` partitions holding
+    (vec_id, code, embedding). Parquet is columnar, so the ADC scan
+    reads ONLY (vec_id, code) — M bytes/vector off storage — while
+    raw vectors stay available (same files, separate column) for the
+    shortlist re-rank. Rows are vec_id-sorted inside each partition
+    so the re-rank's id filter prunes row groups. Plus
+    ``centroids.npy`` / ``pq_codebooks.npy``."""
+    import os
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        emb = _as_matrix(df[vec_col])
+        norm = emb / (_seq_norms(emb)[:, None] + 1e-30)
+        out = df[[id_col, vec_col]].copy()
+        out["cluster"] = np.argmax(
+            _seq_dots(norm, centroids.T), axis=1
+        ).astype(np.int64)
+        out["code"] = list(pq_encode(emb, codebooks))
+        return out.sort_values(id_col, kind="mergesort")
+
+    assigned = ds.map_batches(assign, batch_format="pandas", batch_size=None)
+    assigned.write_parquet(index_dir, partition_cols=["cluster"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    np.save(os.path.join(index_dir, "pq_codebooks.npy"), codebooks)
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(index_dir)
+        if d.startswith("cluster=")
+    )
+
+
+def ivf_pq_read_topk(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """IVF-PQ probe: (1) pick the ``nprobe`` nearest coarse clusters;
+    (2) ADC pass over those partitions' (vec_id, code) columns ONLY —
+    the compressed scan; (3) EXACT re-rank: read raw vectors for just
+    the ``shortlist`` best ADC candidates (vec_id-filtered read over
+    the same partitions — row-group pruned via the id-sorted layout)
+    and return exact-cosine top-k with the deterministic (−cos, id)
+    tie-break. Same exact kernels as :func:`ivf_read_topk`, so with
+    ``shortlist`` >= the probed-candidate count the result EQUALS the
+    plain IVF probe (pytest-pinned)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    codebooks = np.load(os.path.join(index_dir, "pq_codebooks.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) + 1e-30)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    paths = []
+    for c in probe:
+        d = os.path.join(index_dir, f"cluster={c}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return pd.DataFrame({id_col: [], "cos": []})
+
+    # (2) compressed ADC scan: code column only
+    adc_ids, adc_scores = [], []
+    for p in paths:
+        t = pq_mod.read_table(p, columns=[id_col, "code"])
+        codes = np.stack(t["code"].to_numpy(zero_copy_only=False)).astype(np.uint8)
+        adc_ids.append(t[id_col].to_numpy())
+        adc_scores.append(pq_adc_scores(codes, codebooks, qn))
+    ids = np.concatenate(adc_ids)
+    scores = np.concatenate(adc_scores)
+    order = np.lexsort((ids, -scores))[: min(shortlist, len(ids))]
+    short = np.sort(ids[order])
+
+    # (3) exact re-rank: raw vectors for the shortlist only
+    import pyarrow.compute as pc
+
+    cand_emb, cand_ids = [], []
+    for p in paths:
+        t = pq_mod.read_table(
+            p,
+            columns=[id_col, vec_col],
+            filters=[(id_col, "in", short.tolist())],
+        )
+        if t.num_rows:
+            cand_ids.append(t[id_col].to_numpy())
+            cand_emb.append(_as_matrix(pd.Series(t[vec_col].to_pylist())))
+    if not cand_ids:
+        return pd.DataFrame({id_col: [], "cos": []})
+    ids2 = np.concatenate(cand_ids)
+    emb = np.vstack(cand_emb)
+    norm = emb / (_seq_norms(emb)[:, None] + 1e-30)
+    cos = _seq_dots(norm, qn[:, None])[:, 0]
+    out = pd.DataFrame({id_col: ids2, "cos": cos})
+    return (
+        out.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort")
         .head(k)
         .reset_index(drop=True)
     )

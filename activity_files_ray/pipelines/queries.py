@@ -3201,6 +3201,34 @@ def q_ann_ivf_partitioned(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q_ann_ivf_pq_topk(sf_dir: str):
+    """IVF-PQ probe (r4 verdict item 5, Jégou et al. 2011): coarse
+    clusters + product-quantized codes (8 subspaces × 16 centroids
+    here — 8 bytes/vector vs 256 raw, 32×), ADC scan over the CODE
+    column only, exact re-rank of the 64-candidate shortlist with the
+    bit-stable ann._seq_dots kernels. Deterministic by construction
+    (seeded hash-rank samples, seeded k-means, fixed-op-sequence
+    scoring) → golden-pinned at sf0.01 like the other IVF probes
+    (``SQL_ANN_IVF_PQ_GOLDEN``, hand-copied from a verified run);
+    recall >= plain-IVF and shortlist-equality pins are pytest-held."""
+    import shutil
+    import tempfile
+
+    from . import ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ann.ivf_build(ds, n_clusters=16)
+    cbs = ann.pq_build(ds, m=8, ks=16)
+    idx = tempfile.mkdtemp(prefix="afr_ivfpq_")
+    try:
+        ann.ivf_pq_write(ds, cents, cbs, idx)
+        return ann.ivf_pq_read_topk(
+            idx, _embedding_query_vector(sf_dir), k=10, nprobe=4, shortlist=64
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 # GOLDEN PIN (r3 verdict item 3): expected IVF top-10 for the sf0.01
 # embeddings table, hand-copied from a verified run (vec_id 0 is the
 # query vector itself → cos exactly 1.0). Valid ONLY at the driver's
@@ -3225,10 +3253,25 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos FROM (VALUES
 ) AS t(vec_id, cos)
 """
 
+SQL_ANN_IVF_PQ_GOLDEN = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos FROM (VALUES
+  (0,   1.0e0),
+  (387, 0.33113871888314295e0),
+  (423, 0.29693359864098623e0),
+  (73,  0.2954341152316484e0),
+  (190, 0.2817947192081155e0),
+  (388, 0.2763005476699541e0),
+  (483, 0.25670039829862534e0),
+  (344, 0.25248729499022965e0),
+  (165, 0.2448948149171076e0),
+  (478, 0.23728312771136767e0)
+) AS t(vec_id, cos)
+"""
+
 # oracles whose SQL is a golden VALUES pin of the sf0.01 result (the
-# two IVF probes — approximate by design, so no closed-form SQL
+# IVF probes — approximate by design, so no closed-form SQL
 # exists); every other oracle recomputes independently at any sf
-SF001_SCOPED_ORACLES = {"ann_ivf_topk", "ann_ivf_partitioned"}
+SF001_SCOPED_ORACLES = {"ann_ivf_topk", "ann_ivf_partitioned", "ann_ivf_pq_topk"}
 
 
 def q_doc_quality(sf_dir: str):
@@ -4108,6 +4151,7 @@ QUERIES: dict[str, tuple] = {
     "embed_near_dup": (q_embed_near_dup, _sql_embed_near_dup),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_GOLDEN),
     "ann_ivf_partitioned": (q_ann_ivf_partitioned, SQL_ANN_IVF_GOLDEN),
+    "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, SQL_ANN_IVF_PQ_GOLDEN),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_fingerprint64": (q_doc_fingerprint64, SQL_DOC_FINGERPRINT64),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
