@@ -164,9 +164,11 @@ def bucketed_topk(
         return df.sort_values(sort_by, ascending=ascending, kind="mergesort").head(k)
 
     parts = bucketed_aggregate(ds, keys, aggs, n_buckets, having=bucket_topk)
+    df = parts.to_pandas()
+    if len(df) == 0:  # all-empty input loses the schema entirely
+        return pd.DataFrame(columns=[*keys, *aggs])
     return (
-        parts.to_pandas()
-        .sort_values(sort_by, ascending=ascending, kind="mergesort")
+        df.sort_values(sort_by, ascending=ascending, kind="mergesort")
         .head(k)
         .reset_index(drop=True)
     )

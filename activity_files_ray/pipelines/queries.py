@@ -3253,6 +3253,39 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos FROM (VALUES
 ) AS t(vec_id, cos)
 """
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (r4 verdict item 6,
+    Sennrich et al. 2016): 10 merge rounds over the documents corpus
+    — one text pass builds the (word, freq) table, then each round is
+    a word-table pair-count + bucketed-topk argmax + greedy merge
+    apply (pipelines/bpe.py). Deterministic ((−n, left, right) total
+    tie-break, exact integer counts) but ITERATIVE — SQL-inexpressible
+    as a closed form, so the oracle is a golden VALUES pin of the
+    sf0.01 merge table; distributed == single-process reference BPE
+    is pytest-held on planted and fixture corpora."""
+    from . import bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe.bpe_train(ds, n_merges=10, n_buckets=8)
+
+
+SQL_BPE_MERGES_GOLDEN = """
+SELECT CAST(rank AS BIGINT) AS rank, left_sym AS "left", right_sym AS "right",
+       CAST(n AS BIGINT) AS n FROM (VALUES
+  (0, 'e', 'r', 4568),
+  (1, 'e', '</w>', 4473),
+  (2, 'n', '</w>', 2834),
+  (3, 'er', '</w>', 2779),
+  (4, 'o', 'w', 2747),
+  (5, 'ow', '</w>', 2747),
+  (6, 'o', 'r', 2696),
+  (7, 's', 't', 2676),
+  (8, 'h', '</w>', 1884),
+  (9, 'a', 't', 1845)
+) AS t(rank, left_sym, right_sym, n)
+"""
+
+
 SQL_ANN_IVF_PQ_GOLDEN = """
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos FROM (VALUES
   (0,   1.0e0),
@@ -3271,7 +3304,12 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos FROM (VALUES
 # oracles whose SQL is a golden VALUES pin of the sf0.01 result (the
 # IVF probes — approximate by design, so no closed-form SQL
 # exists); every other oracle recomputes independently at any sf
-SF001_SCOPED_ORACLES = {"ann_ivf_topk", "ann_ivf_partitioned", "ann_ivf_pq_topk"}
+SF001_SCOPED_ORACLES = {
+    "ann_ivf_topk",
+    "ann_ivf_partitioned",
+    "ann_ivf_pq_topk",
+    "bpe_merges",
+}
 
 
 def q_doc_quality(sf_dir: str):
@@ -4152,6 +4190,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_GOLDEN),
     "ann_ivf_partitioned": (q_ann_ivf_partitioned, SQL_ANN_IVF_GOLDEN),
     "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, SQL_ANN_IVF_PQ_GOLDEN),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES_GOLDEN),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_fingerprint64": (q_doc_fingerprint64, SQL_DOC_FINGERPRINT64),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
