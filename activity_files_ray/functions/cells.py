@@ -195,3 +195,51 @@ def cell_sql_expr(lat_expr: str, lon_expr: str, level: int = LEVEL_TILE) -> str:
     """
     ix, iy = cell_xy_sql_exprs(lat_expr, lon_expr, level)
     return f"({ix} * {_IY_MOD} + {iy})"
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) linearization (r5): the space-filling-curve sort
+# key behind spatially-ordered corpus exports — neighbors in (lat,
+# lon) stay close in the 1-D order, so a range-partitioned sorted
+# export by morton key gives spatial locality per partition file.
+# Shared-source-of-truth idiom: the numpy kernel and the generated
+# SQL perform the identical mask-spread bit sequence.
+# ---------------------------------------------------------------------------
+
+_MORTON_MASKS = (
+    (16, 281470681808895),        # 0x0000FFFF0000FFFF
+    (8, 71777214294589695),       # 0x00FF00FF00FF00FF
+    (4, 1085102592571150095),     # 0x0F0F0F0F0F0F0F0F
+    (2, 3689348814741910323),     # 0x3333333333333333
+    (1, 6148914691236517205),     # 0x5555555555555555
+)
+
+
+def _spread_bits16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of v into the even bit positions."""
+    v = v.astype(np.int64)
+    for sh, mask in _MORTON_MASKS:
+        v = (v | (v << sh)) & np.int64(mask)
+    return v
+
+
+def morton_cd(lat_cd: np.ndarray, lon_cd: np.ndarray) -> np.ndarray:
+    """Morton key of integer centidegree coordinates: x = lon_cd +
+    18000 (16 bits), y = lat_cd + 9000 (15 bits), x on even bits."""
+    x = np.asarray(lon_cd, dtype=np.int64) + 18000
+    y = np.asarray(lat_cd, dtype=np.int64) + 9000
+    return _spread_bits16(x) | (_spread_bits16(y) << 1)
+
+
+def morton_sql_expr(lat_cd_expr: str, lon_cd_expr: str) -> str:
+    """ANSI-SQL expression computing the identical morton key
+    (DuckDB BIGINT bit ops mirror the numpy mask spreads exactly)."""
+
+    def spread(e: str) -> str:
+        for sh, mask in _MORTON_MASKS:
+            e = f"((({e}) | (({e}) << {sh})) & {mask})"
+        return e
+
+    x = f"(({lon_cd_expr}) + 18000)"
+    y = f"(({lat_cd_expr}) + 9000)"
+    return f"({spread(x)} | ({spread(y)} << 1))"

@@ -185,3 +185,55 @@ def bpe_reference(word_freqs: dict[str, int], n_merges: int) -> pd.DataFrame:
         )
         vocab = {w: merge_word(s, left, right) for w, s in vocab.items()}
     return pd.DataFrame(merges, columns=["rank", "left", "right", "n"])
+
+
+def tokenize_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a learned merge list (in rank order) to one word — the
+    inference-side BPE tokenizer."""
+    syms = list(word) + [END]
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        syms = merge_word(syms, left, right)
+    return syms
+
+
+def bpe_token_counts(
+    ds,
+    merges: pd.DataFrame,
+    text_col: str = "text",
+    n_buckets: int | None = None,
+):
+    """Corpus tokenization under a learned merge table → global
+    symbol counts, Dataset(sym, n). The merge list is a broadcast
+    small side (closure-captured); each batch tokenizes its DISTINCT
+    words once (per-batch word cache) and multiplies by word counts,
+    so the apply cost tracks vocabulary, not corpus rows; one
+    bucketed exchange folds the per-batch (sym, cnt) partials."""
+    mlist = [
+        (str(l), str(r))
+        for l, r in zip(merges["left"], merges["right"])
+    ]
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        wc: dict[str, int] = {}
+        for t in df[text_col]:
+            for w in _TOKEN_RE.findall(t or ""):
+                wc[w] = wc.get(w, 0) + 1
+        sym_c: dict[str, int] = {}
+        for w, c in wc.items():
+            for s in tokenize_word(w, mlist):
+                sym_c[s] = sym_c.get(s, 0) + c
+        return pd.DataFrame(
+            {
+                "sym": list(sym_c),
+                "n": np.fromiter(sym_c.values(), np.int64, len(sym_c)),
+            }
+        )
+
+    return agg.bucketed_aggregate(
+        ds.map_batches(counts, batch_format="pandas", batch_size=None),
+        ["sym"],
+        {"n": ("n", "sum")},
+        n_buckets=n_buckets,
+    )

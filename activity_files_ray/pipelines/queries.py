@@ -2600,6 +2600,50 @@ FROM events
 """
 
 
+def q_spatial_sorted_export(sf_dir: str):
+    """SPATIALLY-ordered corpus export (SURVEY §7.3 'global sorted
+    outputs keyed by cell'): the same range-partitioned sorted-export
+    machinery keyed by the Z-ORDER (Morton) linearization of
+    (lat_cd, lon_cd) — partition files get spatial locality, the
+    space-filling-curve analog of a Hilbert-ordered corpus. The
+    morton kernel and the oracle's expression are generated from one
+    source (``cells.morton_cd`` / ``cells.morton_sql_expr``), so the
+    ROW_NUMBER replay is bit-exact."""
+    import shutil
+    import tempfile
+
+    from . import sorted_export as se
+
+    def derive(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy()
+        lat_cd, lon_cd = event_latlon_cd(e)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "morton": pa.array(cells.morton_cd(lat_cd, lon_cd)),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        derive, batch_format="pyarrow", batch_size=None
+    )
+    out = tempfile.mkdtemp(prefix="afr_zsorted_")
+    try:
+        se.sorted_export(ds, out, key="morton", tiebreak=("event_id",), n_parts=16)
+        return se.sorted_read_ranked(out, columns=["event_id"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _sql_spatial_sorted_export() -> str:
+    m = cells.morton_sql_expr(EVENT_LAT_CD, EVENT_LON_CD)
+    return f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY {m}, event_id) - 1 AS BIGINT) AS rank,
+       event_id
+FROM events
+"""
+
+
 SUBSTR_W = 8  # window length (tokens) for exact substring dedup
 
 
@@ -3286,6 +3330,39 @@ SELECT CAST(rank AS BIGINT) AS rank, left_sym AS "left", right_sym AS "right",
 """
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """BPE APPLY at corpus scale: tokenize the documents corpus under
+    the 10 learned merges (q_bpe_merges) and emit global symbol
+    counts — the inference side of the tokenizer loop. Each batch
+    tokenizes its DISTINCT words once (per-batch cache ⇒ cost tracks
+    vocabulary, merges closure-broadcast) and one bucketed exchange
+    folds the (sym, n) partials. Deterministic end-to-end (the merge
+    table itself is pinned, the apply is a pure function) → golden
+    VALUES pin at sf0.01, double-run stable; apply semantics ==
+    single-process reference pytest-held."""
+    from . import bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    merges = bpe.bpe_train(ds, n_merges=10, n_buckets=8)
+    ds2 = _read(sf_dir, "documents", ["text"])
+    return bpe.bpe_token_counts(ds2, merges, n_buckets=8)
+
+
+SQL_BPE_TOKEN_COUNTS_GOLDEN = """
+SELECT sym, CAST(n AS BIGINT) AS n FROM (VALUES
+  ('</w>', 12448), ('a', 10805), ('at', 1845), ('b', 2721),
+  ('c', 4653), ('d', 2732), ('e', 2696), ('e</w>', 4473),
+  ('er', 1789), ('er</w>', 2779), ('f', 1787), ('g', 4474),
+  ('h', 1787), ('h</w>', 1884), ('i', 4569), ('j', 964),
+  ('k', 1776), ('l', 7356), ('m', 4602), ('n', 1796),
+  ('n</w>', 2834), ('o', 3710), ('or', 2696), ('ow</w>', 2747),
+  ('p', 2662), ('q', 871), ('r', 4467), ('s', 5481),
+  ('st', 2676), ('t', 5343), ('u', 4540), ('v', 1809),
+  ('w', 886), ('y', 1767)
+) AS t(sym, n)
+"""
+
+
 SQL_ANN_IVF_PQ_GOLDEN = """
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cos AS DOUBLE) AS cos FROM (VALUES
   (0,   1.0e0),
@@ -3309,6 +3386,7 @@ SF001_SCOPED_ORACLES = {
     "ann_ivf_partitioned",
     "ann_ivf_pq_topk",
     "bpe_merges",
+    "bpe_token_counts",
 }
 
 
@@ -4178,6 +4256,7 @@ QUERIES: dict[str, tuple] = {
     "substring_dupes": (q_substring_dupes, SQL_SUBSTRING_DUPES),
     "substring_spans": (q_substring_spans, SQL_SUBSTRING_SPANS),
     "global_sorted_export": (q_global_sorted_export, SQL_GLOBAL_SORTED_EXPORT),
+    "spatial_sorted_export": (q_spatial_sorted_export, _sql_spatial_sorted_export),
     "lang_id_counts": (q_lang_id_counts, SQL_LANG_ID_COUNTS),
     "fit_extra_roundtrip": (q_fit_extra_roundtrip, SQL_FIT_EXTRA_ROUNDTRIP),
     "embed_axis_topk": (q_embed_axis_topk, SQL_EMBED_AXIS_TOPK),
@@ -4191,6 +4270,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_partitioned": (q_ann_ivf_partitioned, SQL_ANN_IVF_GOLDEN),
     "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, SQL_ANN_IVF_PQ_GOLDEN),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES_GOLDEN),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS_GOLDEN),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_fingerprint64": (q_doc_fingerprint64, SQL_DOC_FINGERPRINT64),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),

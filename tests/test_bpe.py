@@ -69,3 +69,36 @@ class TestBpe:
         ref = bpe.bpe_reference(_wf(texts), 1).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, ref)
         assert (got.loc[0, "left"], got.loc[0, "right"]) == ("a", "</w>")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeTokenize:
+    def test_apply_matches_reference_vocab(self):
+        texts = ["low low lower lowest", "new newer newest", "wide wider widest"]
+        merges = _run(texts, 8)
+        mlist = list(zip(merges["left"], merges["right"]))
+        # reference apply: re-derive symbol counts word by word
+        wf = _wf(texts)
+        ref = {}
+        for w, c in wf.items():
+            for s in bpe.tokenize_word(w, mlist):
+                ref[s] = ref.get(s, 0) + c
+        import ray.data as rd
+
+        got = (
+            bpe.bpe_token_counts(
+                rd.from_pandas(pd.DataFrame({"text": texts})), merges, n_buckets=8
+            )
+            .to_pandas()
+            .set_index("sym")["n"]
+            .to_dict()
+        )
+        assert got == ref
+        # learned merges actually fire: some multi-char symbol exists
+        assert any(len(s.replace("</w>", "x")) > 1 for s in got)
+
+    def test_tokenize_word_rank_order(self):
+        # merges must apply in rank order: (l,o) then (lo,w)
+        merges = [("l", "o"), ("lo", "w")]
+        assert bpe.tokenize_word("low", merges) == ["low", "</w>"]
+        assert bpe.tokenize_word("lol", merges) == ["lo", "l", "</w>"]

@@ -78,3 +78,29 @@ class TestSortedExport:
         b = se.plan_boundaries(rd.from_pandas(shuffled), "k", 8, sample_n=512)
         np.testing.assert_array_equal(a, b)
         assert (np.diff(a) > 0).all()  # strictly ascending
+
+
+class TestMortonKernel:
+    def test_sql_parity_and_locality(self):
+        import duckdb
+
+        from activity_files_ray.functions import cells
+
+        rng = np.random.RandomState(4)
+        la = rng.randint(-9000, 9001, 3000).astype(np.int64)
+        lo = rng.randint(-18000, 18001, 3000).astype(np.int64)
+        mine = cells.morton_cd(la, lo)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"la": la, "lo": lo}))
+        ref = con.execute(
+            f"SELECT {cells.morton_sql_expr('la', 'lo')} AS m FROM t"
+        ).df()["m"].to_numpy(np.int64)
+        np.testing.assert_array_equal(mine, ref)
+        # injectivity over the centidegree domain (distinct coords →
+        # distinct keys) and the locality property on a small patch
+        assert len(np.unique(mine)) == len(
+            {(a, b) for a, b in zip(la.tolist(), lo.tolist())}
+        )
+        base = cells.morton_cd(np.array([0]), np.array([0]))[0]
+        nb = cells.morton_cd(np.array([0, 1, 0]), np.array([1, 0, 0]))
+        assert nb[2] == base and nb[0] != base and nb[1] != base
