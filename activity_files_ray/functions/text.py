@@ -114,3 +114,40 @@ def rolling_fingerprint64(texts: pd.Series) -> np.ndarray:
             h = (h * 1_000_003 + th) % M
         out[i] = np.int64(h & 0x7FFFFFFFFFFFFFFF)
     return out
+
+
+def repetition_stats(texts: pd.Series) -> pd.DataFrame:
+    """Within-document REPETITION signals (the Gopher/MassiveText
+    quality-filter family, Rae et al. 2021 — public): token and
+    bigram type counts plus the modal token/bigram occurrence count.
+    All INTEGER outputs (consumers derive fractions like
+    top_bigram_n / n_bigrams), so the SQL oracle replays hash-exact;
+    only the modal COUNT is emitted, so gram ties need no tie-break
+    at all."""
+    n_tok, n_dtok, top_tok = [], [], []
+    n_bi, n_dbi, top_bi = [], [], []
+    for t in texts.fillna(""):
+        toks = _TOKEN_RE.findall(t)
+        n_tok.append(len(toks))
+        tc: dict[str, int] = {}
+        for w in toks:
+            tc[w] = tc.get(w, 0) + 1
+        n_dtok.append(len(tc))
+        top_tok.append(max(tc.values()) if tc else 0)
+        bis = list(zip(toks[:-1], toks[1:]))
+        n_bi.append(len(bis))
+        bc: dict[tuple[str, str], int] = {}
+        for b in bis:
+            bc[b] = bc.get(b, 0) + 1
+        n_dbi.append(len(bc))
+        top_bi.append(max(bc.values()) if bc else 0)
+    return pd.DataFrame(
+        {
+            "n_tokens": np.asarray(n_tok, dtype=np.int64),
+            "n_distinct_tokens": np.asarray(n_dtok, dtype=np.int64),
+            "top_token_n": np.asarray(top_tok, dtype=np.int64),
+            "n_bigrams": np.asarray(n_bi, dtype=np.int64),
+            "n_distinct_bigrams": np.asarray(n_dbi, dtype=np.int64),
+            "top_bigram_n": np.asarray(top_bi, dtype=np.int64),
+        }
+    )

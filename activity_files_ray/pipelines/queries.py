@@ -2644,6 +2644,56 @@ FROM events
 """
 
 
+def q_doc_repetition_stats(sf_dir: str):
+    """Within-doc REPETITION quality signals (Gopher/MassiveText
+    filter family, Rae et al. 2021): per-doc token/bigram type counts
+    + modal gram counts, all integer-exact (text.repetition_stats).
+    Pure map — per-doc state, no exchange; returns a Dataset (one row
+    per doc). The curation rule a consumer applies is e.g.
+    top_bigram_n / n_bigrams > 0.18 → drop."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        out = text.repetition_stats(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy(np.int64))
+        return out
+
+    return ds.map_batches(stats, batch_format="pandas", batch_size=None)
+
+
+SQL_DOC_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+), tokc AS (
+  SELECT doc_id, w, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w
+), tstats AS (
+  SELECT doc_id, SUM(n) AS n_tokens, COUNT(*) AS n_distinct_tokens,
+         MAX(n) AS top_token_n
+  FROM tokc GROUP BY doc_id
+), big AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+), bigc AS (
+  SELECT doc_id, b, COUNT(*) AS n FROM big GROUP BY doc_id, b
+), bstats AS (
+  SELECT doc_id, SUM(n) AS n_bigrams, COUNT(*) AS n_distinct_bigrams,
+         MAX(n) AS top_bigram_n
+  FROM bigc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(ts.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+  CAST(COALESCE(ts.top_token_n, 0) AS BIGINT) AS top_token_n,
+  CAST(COALESCE(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(bs.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+  CAST(COALESCE(bs.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM documents d
+LEFT JOIN tstats ts USING (doc_id)
+LEFT JOIN bstats bs USING (doc_id)
+"""
+
+
 SUBSTR_W = 8  # window length (tokens) for exact substring dedup
 
 
@@ -4253,6 +4303,7 @@ QUERIES: dict[str, tuple] = {
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
     "lang_top_tokens": (q_lang_top_tokens, SQL_LANG_TOP_TOKENS),
     "doc_fingerprint_groups": (q_doc_fingerprint_groups, SQL_DOC_FINGERPRINT),
+    "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION_STATS),
     "substring_dupes": (q_substring_dupes, SQL_SUBSTRING_DUPES),
     "substring_spans": (q_substring_spans, SQL_SUBSTRING_SPANS),
     "global_sorted_export": (q_global_sorted_export, SQL_GLOBAL_SORTED_EXPORT),

@@ -247,3 +247,33 @@ class TestFixtures:
         assert inside[0]
         outside = polygons.points_in_polygon(np.array([40.0]), np.array([-105.0]), polys[1])
         assert not outside[0]
+
+
+class TestRepetitionStats:
+    """r5 Gopher-style repetition signals — integer-exact."""
+
+    def test_hand_computed(self):
+        import pandas as pd
+
+        from activity_files_ray.functions import text
+
+        df = text.repetition_stats(
+            pd.Series(["a b a b c", "x x x", "solo", "", None])
+        )
+        assert df["n_tokens"].tolist() == [5, 3, 1, 0, 0]
+        assert df["n_distinct_tokens"].tolist() == [3, 1, 1, 0, 0]
+        assert df["top_token_n"].tolist() == [2, 3, 1, 0, 0]
+        assert df["n_bigrams"].tolist() == [4, 2, 0, 0, 0]
+        assert df["n_distinct_bigrams"].tolist() == [3, 1, 0, 0, 0]
+        assert df["top_bigram_n"].tolist() == [2, 2, 0, 0, 0]
+
+    def test_repetition_flags_boilerplate(self):
+        import pandas as pd
+
+        from activity_files_ray.functions import text
+
+        clean = " ".join(f"w{i}" for i in range(50))
+        spam = "buy now " * 25
+        df = text.repetition_stats(pd.Series([clean, spam]))
+        frac = df["top_bigram_n"] / df["n_bigrams"].clip(lower=1)
+        assert frac.iloc[0] < 0.05 < frac.iloc[1]
