@@ -2694,6 +2694,94 @@ LEFT JOIN bstats bs USING (doc_id)
 """
 
 
+TFIDF_K = 3
+
+
+def q_doc_tfidf_topk(sf_dir: str):
+    """Per-doc TOP-K SALIENT TOKENS by tf/df (the tf-idf family with
+    a rational weight — document frequency computed corpus-wide, term
+    frequency per doc): the classic two-pass small-side-broadcast
+    plan. Pass 1: global DF table via ``bucketed_aggregate`` over
+    per-batch (token, doc) dedup (exact — a doc never splits across
+    batches); the DF dict is the broadcast small side (vocabulary-
+    sized). Pass 2: per-doc tf, score = tf/df — ONE IEEE division,
+    which is correctly rounded, so numpy double == DuckDB double
+    bit-exactly (the same single-op-float rule the quality score
+    uses) — top-K per doc with the (−score, token) total tie-break.
+    No shuffle in pass 2: per-doc state only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_doc(df: pd.DataFrame) -> pd.DataFrame:
+        toks, dids = [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            ws = set(text._TOKEN_RE.findall(t or ""))
+            toks.extend(ws)
+            dids.extend([did] * len(ws))
+        return pd.DataFrame({"token": toks, "doc_id": np.asarray(dids, dtype=np.int64)})
+
+    df_tbl = agg.bucketed_aggregate(
+        ds.map_batches(tok_doc, batch_format="pandas", batch_size=None),
+        ["token"],
+        {"df": ("", "count")},
+    ).to_pandas()
+    import ray
+
+    from ..spatial.stages import _resolve_cached
+
+    # broadcast ONCE (ray.put + per-worker cache) — not re-shipped per task
+    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(np.int64))))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df_map = _resolve_cached(df_ref)
+        rows_d, rows_t, rows_tf, rows_df, rows_s = [], [], [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            tf: dict[str, int] = {}
+            for w in text._TOKEN_RE.findall(t or ""):
+                tf[w] = tf.get(w, 0) + 1
+            scored = sorted(
+                ((-(c / df_map[w]), w, c) for w, c in tf.items()),
+            )[:TFIDF_K]
+            for s, w, c in scored:
+                rows_d.append(did)
+                rows_t.append(w)
+                rows_tf.append(c)
+                rows_df.append(df_map[w])
+                rows_s.append(-s)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(rows_d, dtype=np.int64),
+                "token": rows_t,
+                "tf": np.asarray(rows_tf, dtype=np.int64),
+                "df": np.asarray(rows_df, dtype=np.int64),
+                "score": np.asarray(rows_s, dtype=np.float64),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pandas", batch_size=None)
+
+
+SQL_DOC_TFIDF_TOPK = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+), dfq AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         CAST(tf.tf AS DOUBLE) / dfq.df AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, tf.token
+         ) AS rn
+  FROM tf JOIN dfq USING (token)
+)
+SELECT doc_id, token, tf, df, score FROM scored WHERE rn <= {TFIDF_K}
+"""
+
+
 SUBSTR_W = 8  # window length (tokens) for exact substring dedup
 
 
@@ -4304,6 +4392,7 @@ QUERIES: dict[str, tuple] = {
     "lang_top_tokens": (q_lang_top_tokens, SQL_LANG_TOP_TOKENS),
     "doc_fingerprint_groups": (q_doc_fingerprint_groups, SQL_DOC_FINGERPRINT),
     "doc_repetition_stats": (q_doc_repetition_stats, SQL_DOC_REPETITION_STATS),
+    "doc_tfidf_topk": (q_doc_tfidf_topk, SQL_DOC_TFIDF_TOPK),
     "substring_dupes": (q_substring_dupes, SQL_SUBSTRING_DUPES),
     "substring_spans": (q_substring_spans, SQL_SUBSTRING_SPANS),
     "global_sorted_export": (q_global_sorted_export, SQL_GLOBAL_SORTED_EXPORT),
