@@ -272,15 +272,25 @@ def tree_aggregate(
     """
     spec = dict(aggs)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        named = {}
-        for out, (src, fn) in spec.items():
-            if fn == "count":
-                df = df.assign(**{out: 1})
-                named[out] = pd.NamedAgg(column=out, aggfunc="sum")
-            else:
-                named[out] = pd.NamedAgg(column=src, aggfunc=fn)
-        return df.groupby(keys, as_index=False, observed=True).agg(**named)
+    # Arrow-native partial (r5, same treatment as bucketed_aggregate):
+    # the per-batch collapse runs on zero-copy pyarrow batches with the
+    # C++ hash-groupby — every corpus row transits this pass.
+    arrow_aggs: list[tuple] = []
+    renames: dict[str, list[str]] = {}
+    for out, (src, fn) in spec.items():
+        arrow_name = "count_all" if fn == "count" else f"{src}_{fn}"
+        if arrow_name not in renames:
+            arrow_aggs.append(([], "count_all") if fn == "count" else (src, fn))
+            renames[arrow_name] = []
+        renames[arrow_name].append(out)
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        part = t.group_by(keys).aggregate(arrow_aggs)
+        cols: dict[str, Any] = {k: part[k] for k in keys}
+        for arrow_name, outs in renames.items():
+            for out in outs:
+                cols[out] = part[arrow_name]
+        return pa.table(cols)
 
     merge_named = {
         out: pd.NamedAgg(column=out, aggfunc=_MERGE_FN[fn])
@@ -292,7 +302,7 @@ def tree_aggregate(
     acc: pd.DataFrame | None = None
     pending: list[pd.DataFrame] = []
     pending_rows = 0
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     if combine_partitions > 0:
         def merge_block(df: pd.DataFrame) -> pd.DataFrame:
             return df.groupby(keys, as_index=False, observed=True).agg(**merge_named)
