@@ -232,17 +232,28 @@ def bucketed_distinct_count(ds, col: str, n_buckets: int | None = None) -> int:
     if n_buckets is None:
         n_buckets = default_n_buckets()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        part = pd.DataFrame({col: df[col].unique()})
-        h = pd.util.hash_pandas_object(part[col], index=False).to_numpy(np.uint64)
-        part["_bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return part
+    def partial(t: "pa.Table") -> "pa.Table":
+        # zero-copy unique via the Arrow C++ kernel (r5, same
+        # treatment as the grouped partials); only the collapsed
+        # distinct values touch pandas, for the bucket row-hash
+        import pyarrow.compute as pc
+
+        uniq = pc.unique(t[col])
+        h = pd.util.hash_pandas_object(
+            pd.Series(uniq.to_pandas()), index=False
+        ).to_numpy(np.uint64)
+        return pa.table(
+            {
+                col: uniq,
+                "_bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n": [np.int64(g[col].nunique())]})
 
     counts = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
