@@ -1196,3 +1196,139 @@ def _fetch_vecs(ds, id_col: str, vec_col: str, ids: list) -> dict:
     return {
         i: np.asarray(v, dtype=np.float64) for i, v in zip(got[id_col], got[vec_col])
     }
+
+
+def set_jaccard_pairs(
+    token_rows,
+    id_col: str = "doc_id",
+    token_col: str = "tok",
+    threshold_pct: int = 60,
+    use_shuffle: bool | None = None,
+    max_bucket: int = 4096,
+    max_vocab: int = 5_000_000,
+) -> pd.DataFrame:
+    """EXACT set-similarity self-join over pre-tokenized ``(id,
+    token)`` rows — the AllPairs/PPJoin prefix filter (Bayardo et
+    al., WWW'07) generalized beyond text shingles to ANY int64 token
+    universe (visited grid cells, tags, feature ids). The integer
+    predicate ``100·|A∩B| ≥ threshold_pct·|A∪B|`` makes every output
+    row bit-replayable in SQL (no float Jaccard anywhere).
+
+    Distributed plan (same skeleton as :func:`ngram_jaccard_dedup`,
+    but token sets arrive as rows, not text):
+
+    1. **distinct** — one ``bucketed_aggregate`` over (id, token)
+       collapses duplicate sightings (a user revisiting a cell);
+    2. **doc frequency** — tokens seen by ≥ 2 ids (a DF-1 token can
+       never witness a pair); the surviving vocabulary is bounded by
+       the TOKEN UNIVERSE (4^level for grid cells), not corpus rows,
+       and broadcasts once via ``ray.put`` (guarded by
+       ``max_vocab``);
+    3. **prefix emission** — ONE ``groupby(id)`` shuffle gathers each
+       set; rank rarest-first by (DF asc, token asc) and emit the
+       first ``n − ceil(threshold·n) + 1`` tokens as band keys, each
+       row CARRYING the full sorted set packed as int64 bytes (sets
+       are token-universe-bounded, so the carry is small and the
+       verify needs no second corpus pass);
+    4. **pair generation + exact verify** — band-key ``groupby``
+       above ``SHUFFLE_THRESHOLD_DOCS`` (driver fold below, same
+       routing as minhash); intersections computed from the carried
+       packed sets with ``np.intersect1d(assume_unique=True)``. The
+       driver sees candidate PAIRS only — never the corpus.
+       ``max_bucket`` is the same high safety valve as
+       ngram_jaccard_dedup's (a token in every id's prefix is a
+       hash-storm bucket, not a similarity signal).
+
+    Returns a pandas DataFrame ``(a, b, n_shared, na, nb)`` sorted by
+    (a, b) — all int64, exact.
+    """
+    import ray
+
+    from . import agg
+
+    use_shuffle = _auto_shuffle(token_rows, use_shuffle)
+    t = threshold_pct
+
+    # ---- pass 1: distinct (id, token) ----
+    dist = agg.bucketed_aggregate(
+        token_rows.select_columns([id_col, token_col]),
+        [id_col, token_col],
+        {"_n": ("", "count")},
+    )
+
+    # ---- pass 2: doc frequency of co-occurring tokens (bounded) ----
+    df_tab = agg.bucketed_aggregate(
+        dist.select_columns([token_col]), [token_col], {"df": ("", "count")}
+    )
+    shared = df_tab.map_batches(
+        lambda d: d[d["df"] >= 2], batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if len(shared) > max_vocab:
+        raise ValueError(
+            f"set_jaccard_pairs: {len(shared)} co-occurring tokens exceed "
+            f"max_vocab={max_vocab}; coarsen the token universe or raise the cap"
+        )
+    shared = shared.sort_values(token_col)
+    vocab_ref = ray.put(
+        (
+            shared[token_col].to_numpy(np.int64),
+            shared["df"].to_numpy(np.int64),
+        )
+    )
+
+    # ---- pass 3: rarest-first prefix emission with packed-set carry ----
+    def emit_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        vocab_tok, vocab_df = ray.get(vocab_ref)
+        toks = np.unique(g[token_col].to_numpy(np.int64))  # sorted unique
+        n = len(toks)
+        if n == 0:
+            return pd.DataFrame(columns=["doc_id", "band_key", "cset"])
+        need = -(-t * n // 100)  # ceil(threshold*n) in pure ints
+        pref_len = n - need + 1
+        if pref_len <= 0:
+            return pd.DataFrame(columns=["doc_id", "band_key", "cset"])
+        dfreq = np.ones(n, dtype=np.int64)
+        if vocab_tok.size:
+            pos = np.searchsorted(vocab_tok, toks)
+            pos = np.minimum(pos, vocab_tok.size - 1)
+            hit = vocab_tok[pos] == toks
+            dfreq[hit] = vocab_df[pos[hit]]
+        order = np.lexsort((toks, dfreq))
+        pref = toks[order[:pref_len]]
+        packed = toks.tobytes()
+        return pd.DataFrame(
+            {
+                "doc_id": [g[id_col].iloc[0]] * len(pref),
+                "band_key": pref,
+                "cset": [packed] * len(pref),
+            }
+        )
+
+    bucket_rows = dist.groupby(id_col).map_groups(
+        emit_prefix, batch_format="pandas"
+    )
+
+    # ---- pass 4: candidate pairs with carried sets ----
+    if use_shuffle:
+        pair_df = _pairs_via_shuffle(bucket_rows, max_bucket=max_bucket, carry="cset")
+        sa, sb = pair_df.get("cset_a"), pair_df.get("cset_b")
+        cand = list(zip(pair_df["a"], pair_df["b"], sa, sb)) if len(pair_df) else []
+    else:
+        bdf = bucket_rows.to_pandas()
+        pairs = _pairs_from_buckets(bdf, max_bucket=max_bucket)
+        sets = dict(zip(bdf["doc_id"], bdf["cset"]))
+        cand = [(a, b, sets[a], sets[b]) for a, b in sorted(pairs)]
+
+    # ---- pass 5: exact integer verify ----
+    out = []
+    for a, b, ca, cb in cand:
+        ta = np.frombuffer(ca, dtype=np.int64)
+        tb = np.frombuffer(cb, dtype=np.int64)
+        i = len(np.intersect1d(ta, tb, assume_unique=True))
+        na, nb = len(ta), len(tb)
+        if 100 * i >= t * (na + nb - i):
+            out.append((a, b, i, na, nb))
+    res = pd.DataFrame(out, columns=["a", "b", "n_shared", "na", "nb"])
+    return res.astype(
+        {"n_shared": np.int64, "na": np.int64, "nb": np.int64}
+    ).sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)

@@ -1177,6 +1177,72 @@ GROUP BY p.user_id, s.n
 """
 
 
+# route similarity: visited-cell-set Jaccard at a coarse grid level.
+# Level 3 (45°×22.5° macro-cells) makes ~67-point uniform tracks
+# overlap meaningfully; τ is an integer percent so the predicate
+# 100·|A∩B| ≥ τ·|A∪B| is bit-replayable in SQL.
+ROUTE_SIM_LEVEL = 3
+ROUTE_SIM_TAU_PCT = 60
+
+
+def q_route_similarity(sf_dir: str):
+    """TRAJECTORY-SIMILARITY self-join: all user pairs whose visited
+    macro-cell SETS satisfy Jaccard ≥ τ — the corpus lift of "find
+    athletes who ride the same routes" (the reference's per-file
+    track model has no cross-file analysis at all; this is the
+    operator a 10^12-point corpus needs for route dedup /
+    recommendation). EXACT, not sketched: the AllPairs/PPJoin prefix
+    filter (:func:`..dedup.set_jaccard_pairs`) over ``(user, cell)``
+    rows. Plan: distinct (user, cell) via one bucketed aggregate →
+    DF-ranked rarest-first prefix emission per user (ONE user_id
+    shuffle, sets bounded by the 4^level grid) → band-key pair
+    generation with packed-set carry → integer verify; the driver
+    sees candidate pairs only. Output (ua, ub, n_shared, na, nb) is
+    all-int64 and hash-matches the naive SQL self-join."""
+    from . import dedup
+
+    def enc(tb: "pa.Table") -> "pa.Table":
+        cell = cells.cell_id(
+            tb["lat_cd"].to_numpy() / 100.0,
+            tb["lon_cd"].to_numpy() / 100.0,
+            ROUTE_SIM_LEVEL,
+        )
+        return pa.table({"user_id": tb["user_id"], "cell": pa.array(cell)})
+
+    uc = _user_points_ds(sf_dir).map_batches(
+        enc, batch_format="pyarrow", batch_size=None
+    )
+    pairs = dedup.set_jaccard_pairs(
+        uc,
+        id_col="user_id",
+        token_col="cell",
+        threshold_pct=ROUTE_SIM_TAU_PCT,
+        max_bucket=1 << 20,  # exactness valve open: level-3 vocab ≤ 64 cells
+    )
+    return pairs.rename(columns={"a": "ua", "b": "ub"})
+
+
+SQL_ROUTE_SIMILARITY = f"""
+WITH pc AS (
+  SELECT DISTINCT user_id,
+    {cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, ROUTE_SIM_LEVEL)} AS cell
+  FROM events
+), sz AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM pc GROUP BY user_id
+), inter AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS i
+  FROM pc a JOIN pc b USING (cell)
+  WHERE a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT ua, ub, i AS n_shared, sa.n AS na, sb.n AS nb
+FROM inter
+JOIN sz sa ON sa.user_id = inter.ua
+JOIN sz sb ON sb.user_id = inter.ub
+WHERE 100 * i >= {ROUTE_SIM_TAU_PCT} * (sa.n + sb.n - i)
+"""
+
+
 QUANTILES = (0.5, 0.95, 0.99)
 
 
@@ -4376,6 +4442,7 @@ QUERIES: dict[str, tuple] = {
     "moran_i": (q_moran_i, _sql_moran_i),
     "cell_focal_sum": (q_cell_focal_sum, _sql_cell_focal_sum),
     "radius_of_gyration": (q_radius_of_gyration, SQL_RADIUS_OF_GYRATION),
+    "route_similarity": (q_route_similarity, SQL_ROUTE_SIMILARITY),
     "hll_registers": (q_hll_registers, SQL_HLL_REGISTERS),
     "cms_counters": (q_cms_counters, SQL_CMS_COUNTERS),
     "bearing_rose": (q_bearing_rose, SQL_BEARING_ROSE),

@@ -618,3 +618,74 @@ class TestIvfPq:
             [ann.pq_adc_scores(codes[:123], cbs, q), ann.pq_adc_scores(codes[123:], cbs, q)]
         )
         np.testing.assert_array_equal(whole, split)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSetJaccardPairs:
+    """set_jaccard_pairs: exact AllPairs over (id, token) rows."""
+
+    @staticmethod
+    def _brute(sets: dict, tau_pct: int) -> set:
+        out = set()
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                if 100 * inter >= tau_pct * (len(sets[a] | sets[b])):
+                    out.add((a, b))
+        return out
+
+    def _planted(self, seed=7, n_ids=40, universe=64):
+        rng = np.random.default_rng(seed)
+        sets = {}
+        for i in range(n_ids):
+            k = int(rng.integers(8, 30))
+            sets[i] = set(rng.choice(universe, size=k, replace=False).tolist())
+        # plant three near-identical pairs
+        for a, b in ((40, 41), (42, 43), (44, 45)):
+            base = set(rng.choice(universe, size=20, replace=False).tolist())
+            sets[a] = base
+            sets[b] = set(list(base)[:18]) | {universe + a}
+        return sets
+
+    @pytest.mark.parametrize("use_shuffle", [False, True])
+    def test_matches_brute_force(self, use_shuffle):
+        import ray.data as rd
+
+        sets = self._planted()
+        rows = pd.DataFrame(
+            [(i, t) for i, s in sets.items() for t in sorted(s)],
+            columns=["doc_id", "tok"],
+        )
+        # duplicate sightings must not change set semantics
+        rows = pd.concat([rows, rows.head(50)], ignore_index=True)
+        got = dedup.set_jaccard_pairs(
+            rd.from_pandas(rows), threshold_pct=60, use_shuffle=use_shuffle
+        )
+        want = self._brute(sets, 60)
+        assert set(zip(got["a"], got["b"])) == want
+        assert len(want) >= 3  # planted pairs present
+        for _, r in got.iterrows():
+            a, b = sets[r["a"]], sets[r["b"]]
+            assert r["n_shared"] == len(a & b)
+            assert r["na"] == len(a) and r["nb"] == len(b)
+
+    def test_threshold_100_means_identical(self):
+        import ray.data as rd
+
+        rows = pd.DataFrame(
+            {"doc_id": [1, 1, 2, 2, 3, 3], "tok": [10, 20, 10, 20, 10, 30]}
+        )
+        got = dedup.set_jaccard_pairs(
+            rd.from_pandas(rows), threshold_pct=100, use_shuffle=False
+        )
+        assert set(zip(got["a"], got["b"])) == {(1, 2)}
+
+    def test_vocab_guard(self):
+        import ray.data as rd
+
+        rows = pd.DataFrame({"doc_id": [1, 2], "tok": [5, 5]})
+        with pytest.raises(ValueError, match="max_vocab"):
+            dedup.set_jaccard_pairs(
+                rd.from_pandas(rows), use_shuffle=False, max_vocab=0
+            )
