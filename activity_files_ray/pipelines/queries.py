@@ -1222,8 +1222,8 @@ def q_route_similarity(sf_dir: str):
     return pairs.rename(columns={"a": "ua", "b": "ub"})
 
 
-SQL_ROUTE_SIMILARITY = f"""
-WITH pc AS (
+_ROUTE_SIM_CTES = f"""
+pc AS (
   SELECT DISTINCT user_id,
     {cells.cell_sql_expr(_EVENT_LAT_SQL, _EVENT_LON_SQL, ROUTE_SIM_LEVEL)} AS cell
   FROM events
@@ -1234,12 +1234,47 @@ WITH pc AS (
   FROM pc a JOIN pc b USING (cell)
   WHERE a.user_id < b.user_id
   GROUP BY 1, 2
+), simpairs AS (
+  SELECT ua, ub, i AS n_shared, sa.n AS na, sb.n AS nb
+  FROM inter
+  JOIN sz sa ON sa.user_id = inter.ua
+  JOIN sz sb ON sb.user_id = inter.ub
+  WHERE 100 * i >= {ROUTE_SIM_TAU_PCT} * (sa.n + sb.n - i)
+)"""
+
+SQL_ROUTE_SIMILARITY = f"""
+WITH {_ROUTE_SIM_CTES}
+SELECT * FROM simpairs
+"""
+
+
+def q_route_clusters(sf_dir: str):
+    """ROUTE GROUPS: connected components over the
+    :func:`q_route_similarity` pair graph — "which users, transitively,
+    share routes". The pair volume is O(similar pairs), which at a
+    dup-heavy corpus is O(corpus): cluster assembly therefore runs
+    the Dataset-native alternating-star CC
+    (:func:`..dedup.cluster_pairs_distributed`), never a driver
+    union-find. Labels are each component's MIN user_id (equality
+    with the SQL closure is tested). Returns a Dataset of
+    (user_id, cluster_id) for every user in ≥ 1 qualifying pair."""
+    from . import dedup
+
+    pairs = q_route_similarity(sf_dir).rename(columns={"ua": "a", "ub": "b"})
+    return dedup._assemble_clusters(pairs, "user_id", distributed=True)
+
+
+SQL_ROUTE_CLUSTERS = f"""
+WITH RECURSIVE {_ROUTE_SIM_CTES},
+edges AS (
+  SELECT ua AS u, ub AS v FROM simpairs UNION SELECT ub, ua FROM simpairs
+),
+reach(n, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.n, e.v FROM reach JOIN edges e ON reach.r = e.u
 )
-SELECT ua, ub, i AS n_shared, sa.n AS na, sb.n AS nb
-FROM inter
-JOIN sz sa ON sa.user_id = inter.ua
-JOIN sz sb ON sb.user_id = inter.ub
-WHERE 100 * i >= {ROUTE_SIM_TAU_PCT} * (sa.n + sb.n - i)
+SELECT n AS user_id, LEAST(MIN(r), n) AS cluster_id FROM reach GROUP BY n
 """
 
 
@@ -4443,6 +4478,7 @@ QUERIES: dict[str, tuple] = {
     "cell_focal_sum": (q_cell_focal_sum, _sql_cell_focal_sum),
     "radius_of_gyration": (q_radius_of_gyration, SQL_RADIUS_OF_GYRATION),
     "route_similarity": (q_route_similarity, SQL_ROUTE_SIMILARITY),
+    "route_clusters": (q_route_clusters, SQL_ROUTE_CLUSTERS),
     "hll_registers": (q_hll_registers, SQL_HLL_REGISTERS),
     "cms_counters": (q_cms_counters, SQL_CMS_COUNTERS),
     "bearing_rose": (q_bearing_rose, SQL_BEARING_ROSE),
