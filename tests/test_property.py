@@ -227,3 +227,37 @@ def test_tcx_roundtrip_arbitrary_tracks(rows):
     np.testing.assert_array_equal(got["ts_us"].to_numpy(), df["ts_us"].to_numpy())
     np.testing.assert_allclose(got["lat"], df["lat"], atol=5e-8)
     np.testing.assert_allclose(got["lon"], df["lon"], atol=5e-8)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    st.integers(1, 100),
+    st.randoms(use_true_random=False),
+)
+def test_prefix_filter_theorem_set_jaccard(xs, ys, tau_pct, rnd):
+    """The AllPairs prefix-filter invariant behind
+    dedup.set_jaccard_pairs: under ANY consistent total order, two
+    sets with 100·|A∩B| ≥ τ·|A∪B| must share a token within each
+    other's first n − ceil(τ·n/100) + 1 tokens."""
+    a = np.unique(np.asarray(xs, dtype=np.int64))
+    b = np.unique(np.asarray(ys, dtype=np.int64))
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    if 100 * inter < tau_pct * union:
+        return  # not a qualifying pair
+    # arbitrary consistent total order = random global permutation
+    perm = list(range(42))
+    rnd.shuffle(perm)
+    rank = np.asarray(perm, dtype=np.int64)
+
+    def prefix(s):
+        n = len(s)
+        pref_len = n - (-(-tau_pct * n // 100)) + 1
+        order = np.argsort(rank[s], kind="stable")
+        return set(s[order[:pref_len]].tolist())
+
+    assert prefix(a) & prefix(b), (
+        "qualifying pair with disjoint prefixes — filter would miss it"
+    )
