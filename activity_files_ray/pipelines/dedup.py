@@ -1230,14 +1230,17 @@ def set_jaccard_pairs(
        row CARRYING the full sorted set packed as int64 bytes (sets
        are token-universe-bounded, so the carry is small and the
        verify needs no second corpus pass);
-    4. **pair generation + exact verify** — band-key ``groupby``
-       above ``SHUFFLE_THRESHOLD_DOCS`` (driver fold below, same
-       routing as minhash); intersections computed from the carried
-       packed sets with ``np.intersect1d(assume_unique=True)``. The
-       driver sees candidate PAIRS only — never the corpus.
-       ``max_bucket`` is the same high safety valve as
-       ngram_jaccard_dedup's (a token in every id's prefix is a
-       hash-storm bucket, not a similarity signal).
+    4. **pair generation + IN-BUCKET exact verify** — band-key
+       ``groupby`` above ``SHUFFLE_THRESHOLD_DOCS`` (driver fold
+       below, same routing as minhash); intersections are computed
+       from the carried packed sets with
+       ``np.intersect1d(assume_unique=True)`` INSIDE the band group
+       (the SCALE.md §6 in-cluster-verify rule), and the cross-band
+       dedup of verified pairs is a distributed first-wins
+       aggregate — the driver sees only the FINAL verified pair set,
+       never the corpus. ``max_bucket`` is the same high safety
+       valve as ngram_jaccard_dedup's (a token in every id's prefix
+       is a hash-storm bucket, not a similarity signal).
 
     Returns a pandas DataFrame ``(a, b, n_shared, na, nb)`` sorted by
     (a, b) — all int64, exact.
@@ -1308,27 +1311,58 @@ def set_jaccard_pairs(
         emit_prefix, batch_format="pandas"
     )
 
-    # ---- pass 4: candidate pairs with carried sets ----
-    if use_shuffle:
-        pair_df = _pairs_via_shuffle(bucket_rows, max_bucket=max_bucket, carry="cset")
-        sa, sb = pair_df.get("cset_a"), pair_df.get("cset_b")
-        cand = list(zip(pair_df["a"], pair_df["b"], sa, sb)) if len(pair_df) else []
-    else:
-        bdf = bucket_rows.to_pandas()
-        pairs = _pairs_from_buckets(bdf, max_bucket=max_bucket)
-        sets = dict(zip(bdf["doc_id"], bdf["cset"]))
-        cand = [(a, b, sets[a], sets[b]) for a, b in sorted(pairs)]
+    # ---- pass 4+5: pair generation with IN-BUCKET exact verify ----
+    out_cols = ["a", "b", "n_shared", "na", "nb"]
 
-    # ---- pass 5: exact integer verify ----
-    out = []
-    for a, b, ca, cb in cand:
+    def _verify(ca: bytes, cb: bytes):
         ta = np.frombuffer(ca, dtype=np.int64)
         tb = np.frombuffer(cb, dtype=np.int64)
         i = len(np.intersect1d(ta, tb, assume_unique=True))
         na, nb = len(ta), len(tb)
         if 100 * i >= t * (na + nb - i):
-            out.append((a, b, i, na, nb))
-    res = pd.DataFrame(out, columns=["a", "b", "n_shared", "na", "nb"])
+            return i, na, nb
+        return None
+
+    if use_shuffle:
+        # verification happens where the band bucket is already
+        # co-located (the SCALE.md §6 in-cluster-verify rule): only
+        # VERIFIED pairs leave the group, and the cross-band dedup is
+        # a distributed first-wins (a pair verified in k bands carries
+        # identical counts every time, so min() is pure dedup). The
+        # driver sees the final verified pair set only.
+        def pairs_verified(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            rows = []
+            if 2 <= len(g) <= max_bucket:
+                ids = g["doc_id"].tolist()
+                cs = g["cset"].tolist()
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        v = _verify(cs[i], cs[j])
+                        if v is not None:
+                            rows.append((ids[i], ids[j], *v))
+            return pd.DataFrame(rows, columns=out_cols)
+
+        verified = bucket_rows.groupby("band_key").map_groups(
+            pairs_verified, batch_format="pandas"
+        )
+        uniq = agg.bucketed_aggregate(
+            verified, ["a", "b"],
+            {c: (c, "min") for c in ("n_shared", "na", "nb")},
+        )
+        res = uniq.to_pandas()
+        if res.empty:
+            res = pd.DataFrame(columns=out_cols)
+    else:
+        bdf = bucket_rows.to_pandas()
+        pairs = _pairs_from_buckets(bdf, max_bucket=max_bucket)
+        sets = dict(zip(bdf["doc_id"], bdf["cset"]))
+        out = []
+        for a, b in sorted(pairs):
+            v = _verify(sets[a], sets[b])
+            if v is not None:
+                out.append((a, b, *v))
+        res = pd.DataFrame(out, columns=out_cols)
     return res.astype(
         {"n_shared": np.int64, "na": np.int64, "nb": np.int64}
     ).sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
