@@ -1271,13 +1271,15 @@ def set_jaccard_pairs(
             f"set_jaccard_pairs: {len(shared)} co-occurring tokens exceed "
             f"max_vocab={max_vocab}; coarsen the token universe or raise the cap"
         )
-    shared = shared.sort_values(token_col)
-    vocab_ref = ray.put(
-        (
+    if shared.empty:  # all DF-1: a fully-filtered Dataset loses its schema
+        vocab = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    else:
+        shared = shared.sort_values(token_col)
+        vocab = (
             shared[token_col].to_numpy(np.int64),
             shared["df"].to_numpy(np.int64),
         )
-    )
+    vocab_ref = ray.put(vocab)
 
     # ---- pass 3: rarest-first prefix emission with packed-set carry ----
     def emit_prefix(g: pd.DataFrame) -> pd.DataFrame:

@@ -689,3 +689,18 @@ class TestSetJaccardPairs:
             dedup.set_jaccard_pairs(
                 rd.from_pandas(rows), use_shuffle=False, max_vocab=0
             )
+
+    def test_shuffle_path_empty_result(self):
+        import ray.data as rd
+
+        # disjoint sets: no qualifying pair anywhere; the shuffle
+        # path must come back typed-empty through the distributed
+        # first-wins dedup
+        rows = pd.DataFrame(
+            {"doc_id": [1, 1, 2, 2], "tok": [10, 11, 20, 21]}
+        )
+        got = dedup.set_jaccard_pairs(
+            rd.from_pandas(rows), threshold_pct=60, use_shuffle=True
+        )
+        assert len(got) == 0
+        assert list(got.columns) == ["a", "b", "n_shared", "na", "nb"]
