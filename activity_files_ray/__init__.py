@@ -23,9 +23,10 @@ Layout:
   spatial/    the new spatial core (cell encode, PIP join, kNN,
               raster tiling)
   pipelines/  end-to-end composed pipelines (convert, dedup incl.
-              exact substring/paragraph spans, text analysis, ANN
-              search incl. IVF-PQ, BPE tokenizer training, global
-              sorted export, deterministic sampling)
+              exact substring/paragraph spans and exact set-similarity
+              joins (AllPairs) for trajectory/route matching, text
+              analysis, ANN search incl. IVF-PQ, BPE tokenizer
+              training, global sorted export, deterministic sampling)
   state/      checkpoint manifests, lineage, per-stage metrics
   fixtures.py deterministic synthetic tables (images+captions,
               trackpoints, channels, regions, POIs) — seeded, no RNG
