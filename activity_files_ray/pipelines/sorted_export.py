@@ -24,7 +24,9 @@ Plan:
      key min/max and row counts read from the PARQUET FOOTERS
      (metadata-only — no second data pass). A consumer streams
      part=0, part=1, … and has the corpus in total order; a failed
-     export resumes by skipping complete partition dirs.
+     export (no manifest yet) resumes by re-running with
+     ``only_parts`` = the missing partition ids — boundaries are
+     deterministic, so the re-run rebuilds exactly those ranges.
 
 ``sorted_read_ranked`` is the proving consumer: it reads partitions
 in manifest order, re-sorts WITHIN each partition (partition-local —
@@ -84,11 +86,23 @@ def sorted_export(
     n_parts: int = 32,
     sample_n: int = 8192,
     seed: int = 42,
+    only_parts: set[int] | None = None,
 ) -> list[dict]:
     """Range-partitioned ordered export of ``ds`` by (key, *tiebreak).
     Writes ``part=<i>/`` parquet + ``manifest.json``; returns the
     manifest entries (part, n_rows, key_min, key_max) in global
-    order."""
+    order.
+
+    RESUME: the range boundaries are a deterministic function of
+    (input, seed), so a re-run reproduces the identical layout;
+    ``only_parts`` restricts the write to the named partition ids
+    (rows outside them are dropped at the assign stage, before the
+    shuffle). A failed export — detectable by the missing
+    ``manifest.json`` — is completed by re-running with
+    ``only_parts`` = the missing/incomplete partition ids; the
+    manifest is always rebuilt from ALL ``part=<i>/`` dirs on disk,
+    so the finished layout is indistinguishable from a one-shot run
+    (equality is tested)."""
     import pyarrow.parquet as pq
 
     bounds = plan_boundaries(ds, key, n_parts, sample_n, seed)
@@ -98,6 +112,8 @@ def sorted_export(
         out["part"] = np.searchsorted(
             bounds, df[key].to_numpy(np.int64), side="right"
         ).astype(np.int64)
+        if only_parts is not None:
+            out = out[out["part"].isin(list(only_parts))]
         # hive partitioning strips the partition col from the files;
         # keep a data copy so per-partition readers stay self-describing
         out["part_id"] = out["part"]

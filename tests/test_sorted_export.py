@@ -104,3 +104,35 @@ class TestMortonKernel:
         base = cells.morton_cd(np.array([0]), np.array([0]))[0]
         nb = cells.morton_cd(np.array([0, 1, 0]), np.array([1, 0, 0]))
         assert nb[2] == base and nb[0] != base and nb[1] != base
+
+    def test_resume_missing_parts_equals_one_shot(self, tmp_path):
+        """Kill-and-resume: delete two partition dirs + the manifest
+        from a finished export, re-run with only_parts = the missing
+        ids, and require the resumed layout (manifest, ranks, rows)
+        to be byte-equal to the one-shot export."""
+        import shutil
+
+        import ray.data as rd
+
+        df = _df()
+        full_dir = tmp_path / "full"
+        res_dir = tmp_path / "resumed"
+        kw = dict(key="k", tiebreak=("i",), n_parts=8)
+        man_full = se.sorted_export(rd.from_pandas(df), str(full_dir), **kw)
+        se.sorted_export(rd.from_pandas(df), str(res_dir), **kw)
+        # simulate a crash: two ranges missing, no manifest
+        missing = {2, 5}
+        for p in missing:
+            shutil.rmtree(res_dir / f"part={p}")
+        os.remove(res_dir / "manifest.json")
+        man_res = se.sorted_export(
+            rd.from_pandas(df), str(res_dir), **kw, only_parts=missing
+        )
+        assert man_res == man_full
+        a = se.sorted_read_ranked(str(full_dir)).to_pandas()
+        b = se.sorted_read_ranked(str(res_dir)).to_pandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values("rank").reset_index(drop=True),
+            b[cols].sort_values("rank").reset_index(drop=True),
+        )
