@@ -1278,6 +1278,90 @@ SELECT n AS user_id, LEAST(MIN(r), n) AS cluster_id FROM reach GROUP BY n
 """
 
 
+FUNNEL_W_US = 48 * 3600 * 1_000_000  # adjacent-step window: 48 h
+
+
+def q_funnel_counts(sf_dir: str):
+    """Event-SEQUENCE pattern counting (funnel analysis): per user,
+    the number of ordered view→click→purchase triples whose ADJACENT
+    gaps are both in (0, W] — the sequence-mining sibling of
+    sessionization/as-of (those match single steps; this matches a
+    PATTERN). Plan: ONE user_id shuffle; per group the count is a
+    vectorized two-sided ``searchsorted`` per click (#views in
+    [c−W, c) × #purchases in (c, c+W], summed) — no triple join
+    anywhere, O(n log n) per user vs the oracle's O(n³) join. The
+    per-click products are accumulated in exact Python ints (a user
+    with k events can have ~k³ triples, past int64 at k ≈ 2×10⁶ in
+    one window) with a loud raise where the oracle's BIGINT would
+    overflow too. Output (user_id, n_funnels), users with ≥ 1 only."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(t: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "us": t["ts"].cast(pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "n_funnels": pd.Series(dtype="int64"),
+        }
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["us"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        vs = np.sort(us[et == "view"])
+        cs = np.sort(us[et == "click"])
+        ps = np.sort(us[et == "purchase"])
+        if not (len(vs) and len(cs) and len(ps)):
+            return empty
+        nv = np.searchsorted(vs, cs, side="left") - np.searchsorted(
+            vs, cs - FUNNEL_W_US, side="left"
+        )
+        npu = np.searchsorted(ps, cs + FUNNEL_W_US, side="right") - np.searchsorted(
+            ps, cs, side="right"
+        )
+        total = sum(int(a) * int(b) for a, b in zip(nv, npu))  # exact bigint
+        if total == 0:
+            return empty
+        if total >= 2**63:
+            raise OverflowError(
+                f"funnel_counts: {total} triples for user "
+                f"{df['user_id'].iloc[0]} exceed int64 (oracle BIGINT too)"
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(df["user_id"].iloc[0])],
+                "n_funnels": [np.int64(total)],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+SQL_FUNNEL_COUNTS = f"""
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+)
+SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_funnels
+FROM e v
+JOIN e c ON c.user_id = v.user_id AND v.event_type = 'view'
+  AND c.event_type = 'click' AND c.us > v.us AND c.us <= v.us + {FUNNEL_W_US}
+JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+  AND p.us > c.us AND p.us <= c.us + {FUNNEL_W_US}
+GROUP BY v.user_id
+"""
+
+
 QUANTILES = (0.5, 0.95, 0.99)
 
 
@@ -4479,6 +4563,7 @@ QUERIES: dict[str, tuple] = {
     "radius_of_gyration": (q_radius_of_gyration, SQL_RADIUS_OF_GYRATION),
     "route_similarity": (q_route_similarity, SQL_ROUTE_SIMILARITY),
     "route_clusters": (q_route_clusters, SQL_ROUTE_CLUSTERS),
+    "funnel_counts": (q_funnel_counts, SQL_FUNNEL_COUNTS),
     "hll_registers": (q_hll_registers, SQL_HLL_REGISTERS),
     "cms_counters": (q_cms_counters, SQL_CMS_COUNTERS),
     "bearing_rose": (q_bearing_rose, SQL_BEARING_ROSE),

@@ -733,3 +733,52 @@ class TestCmsSketch:
             )
             assert est >= true_n  # CMS never undercounts
             assert est - true_n <= eps_bound
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnelCounts:
+    """funnel_counts kernel: boundary-exact window semantics — the
+    searchsorted plan must match the triple-join definition at the
+    exact gap bounds (0 excluded, W included, W+1 excluded)."""
+
+    def _run(self, rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from activity_files_ray.pipelines import queries as q
+
+        us, uid, et = zip(*rows)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(list(us), pa.timestamp("us")),
+                "user_id": pa.array(list(uid), pa.int64()),
+                "event_type": pa.array(list(et)),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array([""] * len(rows)),
+            }
+        )
+        pq_.write_table(t, str(tmp_path / "events.parquet"))
+        res = q.q_funnel_counts(str(tmp_path))
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return dict(zip(df["user_id"], df["n_funnels"]))
+
+    def test_boundary_gaps(self, tmp_path):
+        from activity_files_ray.pipelines import queries as q
+
+        W = q.FUNNEL_W_US
+        rows = [
+            # user 1: both gaps exactly W -> counts
+            (0, 1, "view"), (W, 1, "click"), (2 * W, 1, "purchase"),
+            # user 2: first gap W+1 -> no funnel
+            (0, 2, "view"), (W + 1, 2, "click"), (W + 2, 2, "purchase"),
+            # user 3: zero gap (simultaneous view/click) -> excluded
+            (0, 3, "view"), (0, 3, "click"), (1, 3, "purchase"),
+            # user 4: two views x two purchases around one click -> 4
+            (0, 4, "view"), (1, 4, "view"), (2, 4, "click"),
+            (3, 4, "purchase"), (4, 4, "purchase"),
+            # user 5: wrong order -> nothing
+            (0, 5, "purchase"), (1, 5, "click"), (2, 5, "view"),
+        ]
+        got = self._run(rows, tmp_path)
+        assert got == {1: 1, 4: 4}
