@@ -26,4 +26,4 @@ class TestOracleBreadth:
             f"queries without oracles: {set(qs) - set(sql)}; "
             f"oracles without queries: {set(sql) - set(qs)}"
         )
-        assert len(qs) >= 74  # breadth floor: r4 shipped 74, never shrink
+        assert len(qs) >= 86  # breadth floor: r5 shipped 86, never shrink
