@@ -704,3 +704,31 @@ class TestSetJaccardPairs:
         )
         assert len(got) == 0
         assert list(got.columns) == ["a", "b", "n_shared", "na", "nb"]
+
+    def test_hot_bucket_skip_rarest_first_still_finds_pairs(self):
+        """A token present in EVERY set makes a corpus-sized bucket;
+        with max_bucket below that size the bucket is skipped — but
+        rarest-first prefix ranking places RARE shared tokens first,
+        so qualifying pairs are still emitted via their rare-token
+        buckets. This is the design property that makes the cap a
+        safety valve rather than a recall knob."""
+        import ray.data as rd
+
+        HOT = 999  # in every set
+        rows = []
+        # 20 background sets: HOT + 6 unique tokens each (no pairs)
+        for i in range(20):
+            toks = [HOT] + [1000 + 10 * i + j for j in range(6)]
+            rows += [(i, t) for t in toks]
+        # planted near-identical pair sharing rare tokens
+        for i in (100, 101):
+            rows += [(i, t) for t in [HOT, 1, 2, 3, 4, 5, 6, 7]]
+        df = pd.DataFrame(rows, columns=["doc_id", "tok"])
+        for shuffle in (False, True):
+            got = dedup.set_jaccard_pairs(
+                rd.from_pandas(df),
+                threshold_pct=60,
+                use_shuffle=shuffle,
+                max_bucket=8,  # << 22 sets in the HOT bucket
+            )
+            assert set(zip(got["a"], got["b"])) == {(100, 101)}, shuffle

@@ -782,3 +782,13 @@ class TestFunnelCounts:
         ]
         got = self._run(rows, tmp_path)
         assert got == {1: 1, 4: 4}
+
+    def test_duplicate_timestamp_multiplicity(self, tmp_path):
+        """Two views at the SAME microsecond before a click count as
+        two triples — searchsorted counts value multiplicity exactly
+        like the oracle's join row multiplicity."""
+        rows = [
+            (0, 7, "view"), (0, 7, "view"), (5, 7, "click"),
+            (6, 7, "purchase"),
+        ]
+        assert self._run(rows, tmp_path) == {7: 2}
