@@ -73,7 +73,11 @@ def run_resumable(
     done = committed_partitions(out_dir, stage_version)
     ran, skipped, failed = [], [], []
     for part_id, inputs in partitions.items():
-        if part_id in done:
+        # a committed partition is only valid for the EXACT input list
+        # it recorded — under corpus APPENDS a partition's composition
+        # can change (new file hashed into it), and skipping it then
+        # would silently serve stale output; mismatched inputs re-run
+        if part_id in done and done[part_id].get("inputs") == inputs:
             skipped.append(part_id)
             continue
         final_dir = os.path.join(out_dir, f"part={part_id}")
@@ -108,8 +112,35 @@ def run_resumable(
 
 
 def partition_input_files(files: list[str], n_partitions: int) -> dict[str, list[str]]:
-    """Deterministic round-robin file → partition assignment."""
+    """Deterministic round-robin file → partition assignment.
+
+    NOTE: round-robin is INDEX-based, so appending one file to the
+    corpus shifts ~every partition's composition — combined with the
+    inputs-mismatch invalidation above, an append re-runs almost the
+    whole phase. Use :func:`partition_input_files_stable` when the
+    corpus grows over time."""
     parts: dict[str, list[str]] = {f"{i:05d}": [] for i in range(n_partitions)}
     for i, f in enumerate(sorted(files)):
         parts[f"{i % n_partitions:05d}"].append(f)
+    return {k: v for k, v in parts.items() if v}
+
+
+def partition_input_files_stable(
+    files: list[str], n_partitions: int
+) -> dict[str, list[str]]:
+    """APPEND-STABLE file → partition assignment: each file hashes to
+    its partition by basename (md5 — process-seed independent), so
+    adding new corpus shards changes ONLY the partitions the new files
+    land in; every other partition keeps its exact input list and its
+    checkpoint stays valid. This is what makes incremental corpus
+    appends cheap: a rerun re-signs the new shards' partitions and
+    skips the rest (tested in tests/test_dedup_job.py)."""
+    import hashlib
+
+    parts: dict[str, list[str]] = {f"{i:05d}": [] for i in range(n_partitions)}
+    for f in sorted(files):
+        h = int.from_bytes(
+            hashlib.md5(os.path.basename(f).encode()).digest()[:8], "big"
+        )
+        parts[f"{h % n_partitions:05d}"].append(f)
     return {k: v for k, v in parts.items() if v}

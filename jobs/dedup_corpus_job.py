@@ -33,6 +33,14 @@ Two-phase plan, shaped so the EXPENSIVE pass is the resumable one:
 Per-stage metrics JSONL lands next to the outputs — "resumable from
 per-partition checkpoints with lineage and per-stage metrics emitted"
 for the dedup workload, alongside the convert + tiling jobs.
+
+INCREMENTAL APPENDS: input files hash to partitions by basename
+(append-stable), and a committed partition is revalidated against its
+recorded input list — so when new corpus shards land, a rerun
+re-signs only the partitions containing new files and rebuilds the
+global answer from ALL stored signatures, never re-reading old
+bodies. Append == from-scratch equality is pinned in
+tests/test_dedup_job.py.
 """
 
 from __future__ import annotations
@@ -92,7 +100,10 @@ def main(argv: list[str] | None = None) -> int:
     if not files:
         print(f"error: no parquet under {args.docs}", file=sys.stderr)
         return 64
-    parts = checkpoint.partition_input_files(files, args.partitions)
+    # append-stable assignment: re-running after new shards land
+    # re-signs ONLY the partitions containing new files (incremental
+    # corpus appends); phase 2 always reruns from signatures only
+    parts = checkpoint.partition_input_files_stable(files, args.partitions)
     m = metrics.StageMetrics()
     hasher = (
         dedup.FastMinHasher(args.n_perm, seed=42) if args.mode == "minhash" else None

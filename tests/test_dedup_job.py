@@ -93,10 +93,15 @@ class TestDedupJobExact:
         out = str(tmp_path / "out")
         args = ["--docs", str(docs), "--out", out, "--partitions", "3"]
         assert job.main(args) == 0
-        # manifests + lineage present for every partition
-        for pid in ("00000", "00001", "00002"):
-            man = json.load(open(os.path.join(out, "_MANIFEST", f"{pid}.json")))
+        # manifests + lineage present for every (hash-stable) partition
+        mans = sorted(os.listdir(os.path.join(out, "_MANIFEST")))
+        assert mans  # at least one committed partition
+        covered = []
+        for name in mans:
+            man = json.load(open(os.path.join(out, "_MANIFEST", name)))
             assert man["rows_out"] > 0 and man["inputs"]
+            covered += man["inputs"]
+        assert sorted(covered) == sorted(str(p) for p in docs.glob("*.parquet"))
         first = pd.read_parquet(os.path.join(out, "winners"))
         # poison one input shard: a resume must NOT re-read it
         shard = sorted(docs.glob("*.parquet"))[0]
@@ -159,7 +164,10 @@ class TestDedupJobMinhash:
             "--mode", "minhash", "--threshold", "0.5",
         ]
         assert job.main(args) == 0
-        sig = os.path.join(out, "part=00000", "signatures")
+        first_part = sorted(
+            d for d in os.listdir(out) if d.startswith("part=")
+        )[0]
+        sig = os.path.join(out, first_part, "signatures")
         mtimes = {
             f: os.path.getmtime(os.path.join(sig, f)) for f in os.listdir(sig)
         }
@@ -167,3 +175,74 @@ class TestDedupJobMinhash:
         assert mtimes == {
             f: os.path.getmtime(os.path.join(sig, f)) for f in os.listdir(sig)
         }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupJobIncrementalAppend:
+    def test_append_shard_runs_only_new_partitions(self, tmp_path):
+        """Incremental corpus append: after new shards land, a rerun
+        re-signs ONLY the partitions containing new files (the rest
+        skip via checkpoint + input-list revalidation), and the global
+        answer equals a from-scratch run over the full corpus."""
+        sys.path.insert(0, "/root/repo/jobs")
+        import dedup_corpus_job as job
+
+        df = _corpus()
+        docs = tmp_path / "docs"
+        _write_sharded(df, docs)
+        out = str(tmp_path / "out")
+        args = [
+            "--docs", str(docs), "--out", out, "--partitions", "3",
+            "--mode", "minhash", "--threshold", "0.5",
+        ]
+        assert job.main(args) == 0
+        n_parts_before = len(os.listdir(os.path.join(out, "_MANIFEST")))
+        # a new shard arrives: one fresh doc + a near-dup of base 5
+        new = pd.DataFrame(
+            {
+                "doc_id": ["d100", "d101"],
+                "text": [
+                    "entirely new content about sailing across the northern sea at dawn",
+                    BASE_DOCS[5].replace("expensive", "costly"),
+                ],
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(new, preserve_index=False),
+            str(docs / "docs-new.parquet"),
+        )
+        assert job.main(args) == 0
+        got = (
+            pd.read_parquet(os.path.join(out, "clusters", "clusters.parquet"))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # only the new file's bucket was (re-)signed: manifests show
+        # every old partition's inputs unchanged, and the appended
+        # file sits in exactly one partition
+        mans = [
+            json.load(open(os.path.join(out, "_MANIFEST", f)))
+            for f in os.listdir(os.path.join(out, "_MANIFEST"))
+        ]
+        with_new = [
+            m for m in mans
+            if any(i.endswith("docs-new.parquet") for i in m["inputs"])
+        ]
+        assert len(with_new) == 1
+        assert len(mans) <= n_parts_before + 1
+        # from-scratch over the full corpus gives the identical answer
+        out2 = str(tmp_path / "out2")
+        args2 = [
+            "--docs", str(docs), "--out", out2, "--partitions", "3",
+            "--mode", "minhash", "--threshold", "0.5",
+        ]
+        assert job.main(args2) == 0
+        want = (
+            pd.read_parquet(os.path.join(out2, "clusters", "clusters.parquet"))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # the planted cross-shard near-dup clustered with its base
+        cid = dict(zip(got["doc_id"], got["cluster_id"]))
+        assert cid.get("d101") == cid.get("d005")

@@ -251,3 +251,41 @@ class TestConvertCheckpointFork:
             cv._convert_core = real
         pd.testing.assert_frame_equal(e2, e1)
         pd.testing.assert_frame_equal(d2, d1)
+
+
+class TestAppendStableCheckpoints:
+    """Corpus-append semantics: committed partitions are revalidated
+    against their recorded input lists, and the stable partitioner
+    keeps appends from perturbing unrelated partitions."""
+
+    def test_changed_inputs_invalidate_committed_partition(self, tmp_path):
+        files = _write_inputs(tmp_path)
+        parts = checkpoint.partition_input_files(files, 3)
+        out_dir = str(tmp_path / "out")
+        checkpoint.run_resumable(parts, out_dir, _process)
+        # same ids, one partition gains a file: that partition (and
+        # only it) must re-run — skipping it would serve stale output
+        extra = tmp_path / "extra.parquet"
+        pq.write_table(pa.table({"x": pa.array([99])}), str(extra))
+        target = next(iter(parts))
+        parts2 = {k: (v + [str(extra)] if k == target else v) for k, v in parts.items()}
+        r = checkpoint.run_resumable(parts2, out_dir, _process)
+        assert r["ran"] == [target]
+        assert set(r["skipped"]) == set(parts) - {target}
+        got = pq.read_table(
+            os.path.join(out_dir, f"part={target}", "data.parquet")
+        )
+        assert 198 in got["x2"].to_pylist()  # 99*2 — rebuilt with the new file
+
+    def test_stable_partitioner_append_only_touches_new_buckets(self, tmp_path):
+        files = _write_inputs(tmp_path)
+        before = checkpoint.partition_input_files_stable(files, 4)
+        extra = tmp_path / "zzz-new-shard.parquet"
+        pq.write_table(pa.table({"x": pa.array([1])}), str(extra))
+        after = checkpoint.partition_input_files_stable(files + [str(extra)], 4)
+        changed = [
+            k for k in set(before) | set(after)
+            if before.get(k) != after.get(k)
+        ]
+        assert len(changed) == 1  # only the new file's bucket moved
+        assert str(extra) in after[changed[0]]
