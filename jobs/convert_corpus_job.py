@@ -67,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
     if not files:
         print(f"error: no parquet under {args.payloads}", file=sys.stderr)
         return 64
-    parts = checkpoint.partition_input_files(files, args.partitions)
+    # append-stable: new shards re-run only their own partitions
+    parts = checkpoint.partition_input_files_stable(files, args.partitions)
     m = metrics.StageMetrics()
 
     def process(part_id: str, inputs: list[str], out_dir: str) -> dict:

@@ -68,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
     if not files:
         print(f"error: no parquet under {args.images}", file=sys.stderr)
         return 64
-    parts = checkpoint.partition_input_files(files, args.partitions)
+    # append-stable: new shards re-run only their own partitions
+    parts = checkpoint.partition_input_files_stable(files, args.partitions)
     polys = (
         fixtures.make_region_grid()
         if args.regions == "grid"
